@@ -1,0 +1,209 @@
+"""Rotated and axis-aligned NMS — static-shape, on-device.
+
+Replaces ``mmcv.ops.nms_rotated`` / ``nms`` / ``batched_nms`` (reference use
+sites: ``core/post_processing/bbox_nms_rotated.py:3``,
+``core/patch/merge_results.py:4``, ``datasets/dota.py:16``,
+``dense_heads/{oriented,rotated}_rpn_head.py:6-7``).
+
+TPU design: no dynamic filtering. Candidates are fixed-size, padded, and
+masked (padding has score ``-inf``); NMS returns a keep *mask* plus
+score-sorted fixed-size detections. The greedy suppression is exact (same
+result order as the CUDA kernel): boxes are visited in descending-score
+order and each surviving box suppresses later overlapping boxes. Pairwise
+IoU is computed in row blocks to bound memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .iou import box_iou_rotated
+
+NEG_INF = -1e10
+
+
+def hbb_overlaps(boxes1, boxes2):
+    """Axis-aligned IoU matrix for (N, 4) x (M, 4) xyxy boxes."""
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:4], boxes2[None, :, 2:4])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    a1 = jnp.maximum(boxes1[:, 2] - boxes1[:, 0], 0) * \
+        jnp.maximum(boxes1[:, 3] - boxes1[:, 1], 0)
+    a2 = jnp.maximum(boxes2[:, 2] - boxes2[:, 0], 0) * \
+        jnp.maximum(boxes2[:, 3] - boxes2[:, 1], 0)
+    return inter / jnp.maximum(a1[:, None] + a2[None, :] - inter, 1e-6)
+
+
+def _blocked_pair_mask(boxes, iou_fn, iou_thr, block: int = 256):
+    """Boolean (N, N) matrix: pair IoU > thr, computed in row blocks.
+
+    Blocking keeps the 24-candidate intermediate tensors of the rotated-IoU
+    kernel at (block, N, 24, 2) instead of (N, N, 24, 2), bounding VMEM/HBM
+    pressure; XLA fuses each block's computation.
+    """
+    n = boxes.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+    rows = boxes_p.reshape(nb, block, boxes.shape[-1])
+
+    def one_block(row_boxes):
+        return iou_fn(row_boxes, boxes) > iou_thr
+
+    mask = jax.lax.map(one_block, rows)           # (nb, block, N)
+    return mask.reshape(nb * block, n)[:n]
+
+
+def _greedy_suppress(over_thr):
+    """Exact greedy NMS given a (N, N) over-threshold matrix for boxes
+    already sorted by descending score. Returns keep mask (N,).
+
+    Sequential in N (greedy NMS is order-dependent); each step is a cheap
+    (N,) vector update under ``lax.fori_loop`` so the whole thing stays
+    on-device with static shapes.
+    """
+    n = over_thr.shape[0]
+    idx = jnp.arange(n)
+
+    def body(i, keep):
+        row = jax.lax.dynamic_index_in_dim(over_thr, i, axis=0,
+                                           keepdims=False)
+        suppress = row & (idx > i) & keep[i]
+        return keep & ~suppress
+
+    return jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+
+
+def nms_rotated(boxes, scores, iou_threshold: float,
+                valid_mask=None, block: int = 256):
+    """Rotated NMS over padded candidates.
+
+    Args:
+        boxes: (N, 5) rotated boxes (may include padding).
+        scores: (N,) scores; padding should carry ``-inf`` (or pass
+            ``valid_mask``).
+        iou_threshold: suppression threshold.
+        valid_mask: optional (N,) bool marking real candidates.
+
+    Returns:
+        keep: (N,) bool — survivors, in the *original* index order.
+        order: (N,) int32 — indices sorted by descending score (apply
+            ``keep[order]`` for the score-ranked survivor list, matching the
+            CUDA kernel's sorted output).
+    """
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, NEG_INF)
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes[order]
+    over = _blocked_pair_mask(sorted_boxes, box_iou_rotated, iou_threshold,
+                              block)
+    keep_sorted = _greedy_suppress(over)
+    if valid_mask is not None:
+        keep_sorted = keep_sorted & (scores[order] > NEG_INF / 2)
+    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    return keep, order
+
+
+def nms_hbb(boxes, scores, iou_threshold: float, valid_mask=None):
+    """Axis-aligned NMS with the same static-shape contract as
+    :func:`nms_rotated` (for the RPN paths)."""
+    if valid_mask is not None:
+        scores = jnp.where(valid_mask, scores, NEG_INF)
+    order = jnp.argsort(-scores)
+    sorted_boxes = boxes[order]
+    over = hbb_overlaps(sorted_boxes, sorted_boxes) > iou_threshold
+    keep_sorted = _greedy_suppress(over)
+    if valid_mask is not None:
+        keep_sorted = keep_sorted & (scores[order] > NEG_INF / 2)
+    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    return keep, order
+
+
+def multiclass_nms_rotated(multi_bboxes,
+                           multi_scores,
+                           score_thr: float,
+                           iou_thr: float,
+                           max_per_img: int,
+                           score_factors=None,
+                           max_candidates: int = 2000):
+    """Multi-class rotated NMS via the class-offset trick.
+
+    Static-shape rework of reference
+    ``core/post_processing/bbox_nms_rotated.py:6-92``: all (box, class)
+    pairs become one candidate list; low-score candidates are masked rather
+    than filtered; boxes are shifted per class by ``label * (max_coord + 1)``
+    so a single rotated NMS handles all classes; finally the top
+    ``max_per_img`` survivors are emitted as fixed-size padded outputs.
+
+    Args:
+        multi_bboxes: (N, 5) or (N, C*5).
+        multi_scores: (N, C + 1); last column is background (ignored).
+        score_factors: optional (N,) multiplier (e.g. centerness).
+
+    Returns:
+        dets: (max_per_img, 6) [cx, cy, w, h, a, score], padded with zeros.
+        labels: (max_per_img,) int32, padding = -1.
+        valid: (max_per_img,) bool.
+    """
+    num_classes = multi_scores.shape[1] - 1
+    n = multi_scores.shape[0]
+    if multi_bboxes.shape[-1] > 5:
+        bboxes = multi_bboxes.reshape(n, num_classes, 5)
+    else:
+        bboxes = jnp.broadcast_to(multi_bboxes[:, None, :],
+                                  (n, num_classes, 5))
+    scores = multi_scores[:, :-1]
+    if score_factors is not None:
+        scores = scores * score_factors[:, None]
+
+    labels = jnp.broadcast_to(jnp.arange(num_classes)[None], (n, num_classes))
+    bboxes = bboxes.reshape(-1, 5)
+    scores = scores.reshape(-1)
+    labels = labels.reshape(-1)
+
+    valid = scores > score_thr
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    # Cap the NMS problem size: keep top max_candidates by score.
+    k = min(max_candidates, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_boxes = bboxes[top_idx]
+    top_labels = labels[top_idx]
+    top_valid = top_scores > NEG_INF / 2
+
+    # Class-offset trick (reference bbox_nms_rotated.py:67-80): shift centers
+    # so different classes can never overlap.
+    safe_boxes = jnp.where(top_valid[:, None], top_boxes,
+                           jnp.zeros_like(top_boxes))
+    max_coordinate = jnp.max(jnp.where(top_valid, safe_boxes[:, :2].max(-1) +
+                                       safe_boxes[:, 2:4].max(-1), 0.0))
+    offsets = top_labels.astype(safe_boxes.dtype) * (max_coordinate + 1)
+    boxes_for_nms = safe_boxes.at[:, :2].add(offsets[:, None])
+
+    keep, _ = nms_rotated(boxes_for_nms, top_scores, iou_thr,
+                          valid_mask=top_valid)
+    kept_scores = jnp.where(keep & top_valid, top_scores, NEG_INF)
+
+    out_scores, out_idx = jax.lax.top_k(kept_scores, max_per_img)
+    out_valid = out_scores > NEG_INF / 2
+    out_boxes = jnp.where(out_valid[:, None], top_boxes[out_idx], 0.0)
+    out_scores_clean = jnp.where(out_valid, out_scores, 0.0)
+    dets = jnp.concatenate([out_boxes, out_scores_clean[:, None]], axis=-1)
+    out_labels = jnp.where(out_valid, top_labels[out_idx], -1)
+    return dets, out_labels, out_valid
+
+
+def batched_nms_hbb(boxes, scores, labels, iou_thr: float, valid_mask=None):
+    """Class-offset axis-aligned batched NMS (RPN proposals are class-
+    agnostic in practice: pass labels=zeros)."""
+    if valid_mask is None:
+        valid_mask = jnp.ones_like(scores, bool)
+    safe_boxes = jnp.where(valid_mask[:, None], boxes, 0.0)
+    max_coordinate = jnp.max(safe_boxes)
+    offsets = labels.astype(boxes.dtype) * (max_coordinate + 1)
+    shifted = safe_boxes + offsets[:, None]
+    return nms_hbb(shifted, scores, iou_thr, valid_mask=valid_mask)
