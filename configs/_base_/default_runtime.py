@@ -1,0 +1,9 @@
+# default runtime, mirrors reference configs/_base_/default_runtime.py
+checkpoint_config = dict(interval=1)
+log_config = dict(interval=50, hooks=[dict(type='TextLoggerHook')])
+dist_params = dict(backend='xla')  # JAX collectives over ICI/DCN
+log_level = 'INFO'
+load_from = None
+resume_from = None
+workflow = [('train', 1)]
+evaluation = dict(interval=1, metric='mAP')

@@ -1,0 +1,271 @@
+"""Rotated anchor-based dense head (base logic + RetinaNet head).
+
+Rebuilds reference ``dense_heads/rotated_anchor_head.py:19-787`` and
+``rotated_retina_head.py`` TPU-first:
+
+- the conv towers are flax modules (NHWC, bf16-capable);
+- target assignment/encoding is *batched and static-shape* (vmap over the
+  image axis, padded gt, masked losses) and runs INSIDE the jitted train
+  step — no per-image host loop, no dynamic ``pos_inds`` gathers;
+- ``get_bboxes`` is a batched decode + fixed-size multiclass rotated NMS.
+
+Config surface matches the reference's head configs
+(``configs/rotated_retinanet/rotated_retinanet_obb_r50_fpn_1x_dota_le90.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.anchors import RotatedAnchorGenerator, anchor_inside_flags
+from ...core.assigners import AssignResult
+from ...ops.boxes import hbb2obb, obb2xyxy
+from ...ops.nms import multiclass_nms_rotated
+from ...utils.registry import (BBOX_ASSIGNERS, BBOX_CODERS, HEADS, LOSSES,
+                               PRIOR_GENERATORS)
+
+
+def _build(registry, cfg, **kw):
+    if cfg is None:
+        return None
+    return registry.build(dict(cfg), **kw)
+
+
+class AnchorHeadLogic:
+    """Shared non-network logic: anchors, targets, loss, decode.
+
+    Mixed into linen head modules; everything here is pure-functional over
+    explicit arguments (no params), so it can be called outside ``apply``.
+    """
+
+    # ---- helpers built lazily from config dicts ------------------------
+    @property
+    def prior_generator(self):
+        return _build(PRIOR_GENERATORS, self.anchor_generator)
+
+    @property
+    def coder(self):
+        return _build(BBOX_CODERS, self.bbox_coder)
+
+    @property
+    def assigner(self):
+        return _build(BBOX_ASSIGNERS, self.train_cfg['assigner'])
+
+    @property
+    def cls_loss(self):
+        return _build(LOSSES, self.loss_cls)
+
+    @property
+    def bbox_loss(self):
+        return _build(LOSSES, self.loss_bbox)
+
+    @property
+    def cls_out_channels(self):
+        return self.num_classes  # sigmoid-based heads
+
+    def flat_anchors(self, featmap_sizes) -> jnp.ndarray:
+        """(N, 5) anchors concatenated over levels (same for every image)."""
+        levels = self.prior_generator.grid_priors(featmap_sizes)
+        return jnp.concatenate(levels, axis=0)
+
+    # ---- target computation (single image; vmapped by loss) ------------
+    def _targets_single(self, anchors, gt_bboxes, gt_labels, gt_mask):
+        """anchors (N,5); padded gt (G,5)/(G,)/(G,) -> per-anchor targets."""
+        assign: AssignResult = self.assigner(anchors, gt_bboxes, gt_labels,
+                                             gt_mask)
+        pos = assign.assigned_gt_inds >= 0
+        neg = assign.assigned_gt_inds == -1
+
+        safe_idx = jnp.clip(assign.assigned_gt_inds, 0, None)
+        matched_gt = gt_bboxes[safe_idx]                      # (N, 5)
+        if getattr(self.coder, 'encode_size', 5) == 5 and \
+                anchors.shape[-1] == 5:
+            bbox_targets = self.coder.encode(anchors, matched_gt)
+        else:
+            bbox_targets = self.coder.encode(anchors, matched_gt)
+        bbox_targets = jnp.where(pos[:, None], bbox_targets, 0.0)
+        bbox_weights = pos.astype(jnp.float32)
+
+        # labels: positive -> gt label; else num_classes (background)
+        labels = jnp.where(pos, assign.labels, self.num_classes)
+        label_weights = (pos | neg).astype(jnp.float32)
+        return labels, label_weights, bbox_targets, bbox_weights, pos
+
+    def _flatten_preds(self, cls_scores, bbox_preds):
+        """Per-level NHWC head outputs -> (B, N, C) / (B, N, 5)."""
+        b = cls_scores[0].shape[0]
+        cls_flat = jnp.concatenate([
+            s.reshape(b, -1, self.cls_out_channels) for s in cls_scores
+        ], axis=1)
+        box_flat = jnp.concatenate([
+            p.reshape(b, -1, self.coder.encode_size) for p in bbox_preds
+        ], axis=1)
+        return cls_flat, box_flat
+
+    # ---- loss (batched) -------------------------------------------------
+    def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_mask):
+        """Batched loss.
+
+        Args:
+            cls_scores / bbox_preds: per-level (B, H, W, A*C) / (B, H, W, A*5).
+            gt_bboxes (B, G, 5); gt_labels (B, G); gt_mask (B, G) bool.
+        Returns dict(loss_cls=..., loss_bbox=...).
+        """
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        anchors = self.flat_anchors(featmap_sizes)
+
+        labels, lw, bt, bw, pos = jax.vmap(
+            lambda b, l, m: self._targets_single(anchors, b, l, m)
+        )(gt_bboxes, gt_labels, gt_mask)
+
+        cls_flat, box_flat = self._flatten_preds(cls_scores, bbox_preds)
+
+        # Global positive count; with a batch-sharded jit, the sum is a
+        # cross-replica psum inserted by XLA (replaces reference's
+        # reduce_mean, rotated_anchor_head.py:455-459).
+        num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+
+        loss_cls = self.cls_loss(cls_flat, labels, weight=lw,
+                                 avg_factor=num_pos)
+        loss_bbox = self.bbox_loss(box_flat, bt, weight=bw,
+                                   avg_factor=num_pos)
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+    # ---- inference ------------------------------------------------------
+    def get_bboxes(self, cls_scores, bbox_preds, img_shape=None,
+                   scale_factor=None, rescale: bool = False, cfg=None):
+        """Batched decode + NMS.
+
+        Per level: take top ``nms_pre`` candidates by max class score
+        (reference ``rotated_anchor_head.py:514-690``), decode against the
+        anchors, then one multiclass rotated NMS per image. All shapes
+        static; returns (dets (B, max_per_img, 6), labels, valid).
+        """
+        cfg = cfg if cfg is not None else self.test_cfg
+        nms_pre = int(cfg.get('nms_pre', 1000))
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        level_anchors = self.prior_generator.grid_priors(featmap_sizes)
+
+        def per_image(cls_list, box_list):
+            cand_boxes, cand_scores = [], []
+            for scores, deltas, anchors in zip(cls_list, box_list,
+                                               level_anchors):
+                scores = scores.reshape(-1, self.cls_out_channels)
+                deltas = deltas.reshape(-1, self.coder.encode_size)
+                scores = jax.nn.sigmoid(scores)
+                n = scores.shape[0]
+                k = min(nms_pre, n) if nms_pre > 0 else n
+                top_vals, top_idx = jax.lax.top_k(scores.max(-1), k)
+                sel_scores = scores[top_idx]
+                sel_boxes = self.coder.decode(anchors[top_idx],
+                                              deltas[top_idx],
+                                              max_shape=img_shape)
+                cand_boxes.append(sel_boxes)
+                cand_scores.append(sel_scores)
+            boxes = jnp.concatenate(cand_boxes, 0)
+            scores = jnp.concatenate(cand_scores, 0)
+            if rescale and scale_factor is not None:
+                sf = jnp.asarray(scale_factor)
+                boxes = boxes.at[:, :4].divide(
+                    jnp.concatenate([sf[:2], sf[:2]]))
+            # append bg column for the multiclass NMS contract
+            scores = jnp.concatenate(
+                [scores, jnp.zeros_like(scores[:, :1])], -1)
+            nms_cfg = cfg.get('nms', {'iou_thr': 0.1})
+            return multiclass_nms_rotated(
+                boxes, scores,
+                score_thr=float(cfg.get('score_thr', 0.05)),
+                iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
+                max_per_img=int(cfg.get('max_per_img', 2000)))
+
+        return jax.vmap(per_image)(list(cls_scores), list(bbox_preds))
+
+    def filter_bboxes(self, cls_scores, bbox_preds):
+        """R3Det stage-0 seed (reference ``rotated_retina_head.py:122-180``):
+        keep the best-scoring anchor per location, decoded — returns
+        per-level (B, H*W, 5) rois."""
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        level_anchors = self.prior_generator.grid_priors(featmap_sizes)
+        num_anchors = self.prior_generator.num_base_anchors[0]
+        rois = []
+        for scores, deltas, anchors in zip(cls_scores, bbox_preds,
+                                           level_anchors):
+            b, h, w, _ = scores.shape
+            s = scores.reshape(b, h * w, num_anchors, self.cls_out_channels)
+            d = deltas.reshape(b, h * w, num_anchors, 5)
+            a = anchors.reshape(h * w, num_anchors, 5)
+            best = s.max(-1).argmax(-1)                        # (b, h*w)
+            take = jax.vmap(
+                lambda dd, idx: jnp.take_along_axis(
+                    dd, idx[:, None, None], axis=1)[:, 0])
+            best_deltas = take(d, best)                        # (b, h*w, 5)
+            best_anchors = a[jnp.arange(h * w)[None].repeat(b, 0), best]
+            rois.append(self.coder.decode(best_anchors, best_deltas))
+        return rois
+
+
+@HEADS.register_module()
+class RotatedRetinaHead(nn.Module, AnchorHeadLogic):
+    """RetinaNet head: 4-conv cls/reg towers, A*(C) cls + A*5 reg outputs
+    (reference ``rotated_retina_head.py``)."""
+    num_classes: int = 15
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    anchor_generator: Optional[dict] = None
+    bbox_coder: Optional[dict] = None
+    loss_cls: Optional[dict] = None
+    loss_bbox: Optional[dict] = None
+    assign_by_circumhbbox: Optional[str] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def assigner(self):
+        cfg = dict(self.train_cfg['assigner'])
+        # The reference switches assignment to circumscribed HBBs via the
+        # head option (rotated_anchor_head.py:231-239).
+        if self.assign_by_circumhbbox is not None:
+            cfg['assign_by_circumhbbox'] = self.assign_by_circumhbbox
+        return _build(BBOX_ASSIGNERS, cfg)
+
+    @nn.compact
+    def __call__(self, feats):
+        num_anchors = self.prior_generator.num_base_anchors[0]
+        cls_convs = [
+            nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
+                    dtype=self.dtype, name=f'cls_conv_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        reg_convs = [
+            nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
+                    dtype=self.dtype, name=f'reg_conv_{i}')
+            for i in range(self.stacked_convs)
+        ]
+        # prior-prob bias init (focal loss convention)
+        import math
+        bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
+        cls_out = nn.Conv(num_anchors * self.cls_out_channels, (3, 3),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          bias_init=bias_init, name='cls_out')
+        reg_out = nn.Conv(num_anchors * 5, (3, 3), padding=[(1, 1)] * 2,
+                          dtype=self.dtype, name='reg_out')
+
+        cls_scores, bbox_preds = [], []
+        for x in feats:
+            c = x
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            r = x
+            for conv in reg_convs:
+                r = nn.relu(conv(r))
+            cls_scores.append(cls_out(c))
+            bbox_preds.append(reg_out(r))
+        return tuple(cls_scores), tuple(bbox_preds)

@@ -1,0 +1,76 @@
+"""Single-stage rotated detector (reference ``detectors/single_stage.py:10-139``).
+
+A flax module for the network (backbone -> neck -> head) plus pure-function
+train/inference logic. The batched pipeline contract (everything padded,
+masks carried explicitly):
+
+    batch = {
+        'images':    (B, H, W, 3)   float,
+        'gt_bboxes': (B, G, 5)      float,
+        'gt_labels': (B, G)         int32,
+        'gt_mask':   (B, G)         bool,
+    }
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.registry import BACKBONES, DETECTORS, HEADS, NECKS
+
+
+@DETECTORS.register_module()
+class RotatedSingleStageDetector(nn.Module):
+    backbone: Optional[dict] = None
+    neck: Optional[dict] = None
+    bbox_head: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.nowrap
+    def make_head(self):
+        """Build the head module object (cheap dataclass; used both inside
+        apply for the forward and outside for loss/decode logic)."""
+        cfg = dict(self.bbox_head)
+        cfg.setdefault('train_cfg', self.train_cfg)
+        cfg.setdefault('test_cfg', self.test_cfg)
+        return HEADS.build(cfg, dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, images):
+        x = BACKBONES.build(dict(self.backbone), dtype=self.dtype,
+                            name='backbone')(images)
+        if self.neck is not None:
+            x = NECKS.build(dict(self.neck), dtype=self.dtype, name='neck')(x)
+        cfg = dict(self.bbox_head)
+        cfg.setdefault('train_cfg', self.train_cfg)
+        cfg.setdefault('test_cfg', self.test_cfg)
+        return HEADS.build(cfg, dtype=self.dtype, name='bbox_head')(x)
+
+    # ---- functional logic (no params) ----------------------------------
+    @nn.nowrap
+    def loss_from_outputs(self, outputs, batch):
+        head = self.make_head()
+        cls_scores, bbox_preds = outputs
+        return head.loss(cls_scores, bbox_preds, batch['gt_bboxes'],
+                         batch['gt_labels'], batch['gt_mask'])
+
+    @nn.nowrap
+    def bboxes_from_outputs(self, outputs, img_shape=None, scale_factor=None,
+                            rescale=False):
+        head = self.make_head()
+        cls_scores, bbox_preds = outputs
+        return head.get_bboxes(cls_scores, bbox_preds, img_shape=img_shape,
+                               scale_factor=scale_factor, rescale=rescale)
+
+
+@DETECTORS.register_module()
+class RotatedRetinaNet(RotatedSingleStageDetector):
+    """Thin alias (reference ``detectors/rotated_retinanet.py``)."""
+    pass

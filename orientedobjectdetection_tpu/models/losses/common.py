@@ -1,0 +1,181 @@
+"""Classification / regression losses (pure jnp, masked reductions).
+
+Replaces mmdet's registry losses + the CUDA ``sigmoid_focal_loss``
+(reference use: ``losses/jy_loss.py:7``; python twin at ``jy_loss.py:12-57``).
+All losses take an optional elementwise ``weight`` and an ``avg_factor``
+(the reference's convention): ``loss = sum(loss * weight) / avg_factor``.
+With padded/masked batches, weights carry the masking.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.registry import LOSSES
+
+
+def reduce_loss(loss, weight=None, reduction: str = 'mean',
+                avg_factor=None):
+    if weight is not None:
+        loss = loss * weight
+    if reduction == 'none':
+        return loss
+    if reduction == 'sum':
+        return loss.sum()
+    # mean
+    if avg_factor is not None:
+        return loss.sum() / jnp.maximum(avg_factor, 1e-6)
+    if weight is not None:
+        return loss.sum() / jnp.maximum(weight.sum(), 1e-6)
+    return loss.mean()
+
+
+def weighted_loss(fn):
+    """Wrap an elementwise loss fn(pred, target) with weight/reduction."""
+    def wrapper(pred, target, weight=None, reduction='mean',
+                avg_factor=None, **kwargs):
+        loss = fn(pred, target, **kwargs)
+        return reduce_loss(loss, weight, reduction, avg_factor)
+    return wrapper
+
+
+def sigmoid_focal_loss(logits, targets_onehot, gamma: float = 2.0,
+                       alpha: float = 0.25):
+    """Elementwise sigmoid focal loss over class logits.
+
+    logits (..., C); targets_onehot (..., C) in {0,1} (soft labels allowed).
+    """
+    p = jax.nn.sigmoid(logits)
+    ce = optax_sigmoid_ce(logits, targets_onehot)
+    p_t = p * targets_onehot + (1 - p) * (1 - targets_onehot)
+    alpha_t = alpha * targets_onehot + (1 - alpha) * (1 - targets_onehot)
+    return alpha_t * ((1 - p_t) ** gamma) * ce
+
+
+def optax_sigmoid_ce(logits, labels):
+    """Numerically-stable sigmoid cross entropy."""
+    return jnp.maximum(logits, 0) - logits * labels + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+@jax.custom_jvp
+def _smooth_l1(diff, beta):
+    adiff = jnp.abs(diff)
+    return jnp.where(adiff < beta, 0.5 * diff * diff / beta,
+                     adiff - 0.5 * beta)
+
+
+@_smooth_l1.defjvp
+def _smooth_l1_jvp(primals, tangents):
+    diff, beta = primals
+    ddiff, _ = tangents
+    y = _smooth_l1(diff, beta)
+    grad = jnp.clip(diff / beta, -1.0, 1.0)
+    return y, grad * ddiff
+
+
+def smooth_l1_loss(pred, target, beta: float = 1.0):
+    return _smooth_l1(pred - target, beta)
+
+
+@LOSSES.register_module()
+class FocalLoss:
+    """mmdet-compatible FocalLoss over integer labels.
+
+    ``target`` is (N,) int with ``num_classes`` meaning background (mmdet's
+    sigmoid focal convention: background has all-zero one-hot).
+    """
+
+    def __init__(self, use_sigmoid: bool = True, gamma: float = 2.0,
+                 alpha: float = 0.25, reduction: str = 'mean',
+                 loss_weight: float = 1.0, activated: bool = False):
+        assert use_sigmoid
+        self.gamma = gamma
+        self.alpha = alpha
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        num_classes = pred.shape[-1]
+        onehot = jax.nn.one_hot(target, num_classes, dtype=pred.dtype)
+        loss = sigmoid_focal_loss(pred, onehot, self.gamma, self.alpha)
+        loss = loss.sum(-1)
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)
+
+
+@LOSSES.register_module()
+class SmoothFocalLoss:
+    """Focal loss with *soft* (smoothed) labels for CSL angle classification
+    (reference ``losses/smooth_focal_loss.py``): per-bin sigmoid focal where
+    the target is the smoothing window value in [0, 1]."""
+
+    def __init__(self, gamma: float = 2.0, alpha: float = 0.25,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        self.gamma = gamma
+        self.alpha = alpha
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        loss = sigmoid_focal_loss(pred, target, self.gamma, self.alpha)
+        loss = loss.sum(-1)
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)
+
+
+@LOSSES.register_module()
+class L1Loss:
+    def __init__(self, reduction: str = 'mean', loss_weight: float = 1.0):
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        loss = jnp.abs(pred - target)
+        if weight is not None and weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)
+
+
+@LOSSES.register_module()
+class SmoothL1Loss:
+    def __init__(self, beta: float = 1.0, reduction: str = 'mean',
+                 loss_weight: float = 1.0):
+        self.beta = beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        loss = smooth_l1_loss(pred, target, self.beta)
+        if weight is not None and weight.ndim < loss.ndim:
+            weight = weight[..., None]
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)
+
+
+@LOSSES.register_module()
+class CrossEntropyLoss:
+    """Softmax or sigmoid CE over integer labels (mmdet-compatible)."""
+
+    def __init__(self, use_sigmoid: bool = False, use_mask: bool = False,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        self.use_sigmoid = use_sigmoid
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        if self.use_sigmoid:
+            if target.ndim == pred.ndim - 1:
+                target = jax.nn.one_hot(target, pred.shape[-1],
+                                        dtype=pred.dtype)
+            loss = optax_sigmoid_ce(pred, target).sum(-1)
+        else:
+            logp = jax.nn.log_softmax(pred, axis=-1)
+            onehot = jax.nn.one_hot(target, pred.shape[-1], dtype=pred.dtype)
+            loss = -(onehot * logp).sum(-1)
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)

@@ -188,6 +188,12 @@ def multiclass_nms_rotated(multi_bboxes,
                           valid_mask=top_valid)
     kept_scores = jnp.where(keep & top_valid, top_scores, NEG_INF)
 
+    if kept_scores.shape[0] < max_per_img:
+        pad = max_per_img - kept_scores.shape[0]
+        kept_scores = jnp.pad(kept_scores, (0, pad),
+                              constant_values=NEG_INF)
+        top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
+        top_labels = jnp.pad(top_labels, (0, pad))
     out_scores, out_idx = jax.lax.top_k(kept_scores, max_per_img)
     out_valid = out_scores > NEG_INF / 2
     out_boxes = jnp.where(out_valid[:, None], top_boxes[out_idx], 0.0)

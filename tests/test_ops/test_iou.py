@@ -1,0 +1,100 @@
+"""Rotated IoU tests vs the independent OpenCV exact-intersection oracle
+(model: reference tests/test_utils/test_overlaps.py)."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from orientedobjectdetection_tpu.ops import (box_iou_rotated,
+                                             diff_iou_rotated_2d,
+                                             rbbox_overlaps)
+
+
+def cv2_iou(b1, b2, mode='iou'):
+    r1 = ((float(b1[0]), float(b1[1])), (float(b1[2]), float(b1[3])),
+          float(np.degrees(b1[4])))
+    r2 = ((float(b2[0]), float(b2[1])), (float(b2[2]), float(b2[3])),
+          float(np.degrees(b2[4])))
+    _, pts = cv2.rotatedRectangleIntersection(r1, r2)
+    inter = 0.0 if pts is None or len(pts) < 3 else \
+        cv2.contourArea(cv2.convexHull(pts))
+    a1, a2 = b1[2] * b1[3], b2[2] * b2[3]
+    denom = a1 if mode == 'iof' else a1 + a2 - inter
+    return inter / max(denom, 1e-6)
+
+
+def random_boxes(n, seed):
+    rng = np.random.default_rng(seed)
+    return np.stack([rng.uniform(0, 100, n), rng.uniform(0, 100, n),
+                     rng.uniform(2, 60, n), rng.uniform(2, 60, n),
+                     rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+
+
+@pytest.mark.parametrize('mode', ['iou', 'iof'])
+def test_matches_cv2(mode):
+    b1 = random_boxes(40, 0)
+    b2 = random_boxes(40, 1)
+    ours = np.asarray(box_iou_rotated(jnp.asarray(b1), jnp.asarray(b2),
+                                      mode=mode))
+    ref = np.array([[cv2_iou(x, y, mode) for y in b2] for x in b1])
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_identical_boxes():
+    b = random_boxes(32, 2)
+    iou = np.asarray(box_iou_rotated(jnp.asarray(b), jnp.asarray(b)))
+    np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-4)
+
+
+def test_golden_cases():
+    """Golden expectations in the spirit of reference
+    tests/test_utils/test_overlaps.py:8-32 (degenerate + known overlaps)."""
+    b1 = jnp.asarray([[0., 0., 10., 10., 0.],
+                      [0., 0., 10., 10., 0.],
+                      [0., 0., 10., 10., np.pi / 4]], jnp.float32)
+    b2 = jnp.asarray([[0., 0., 10., 10., 0.],
+                      [5., 5., 10., 10., 0.],
+                      [0., 0., 10., 10., -np.pi / 4]], jnp.float32)
+    iou = np.asarray(box_iou_rotated(b1, b2, aligned=True))
+    np.testing.assert_allclose(iou[0], 1.0, atol=1e-4)
+    np.testing.assert_allclose(iou[1], 25. / 175., atol=1e-4)
+    # two squares at +-45deg around same center: octagon intersection
+    inter = 100 * (2 * (np.sqrt(2) - 1))**2 * (np.sqrt(2) + 1) / 2
+    expected = 8 * (np.sqrt(2) - 1) ** 2 / 2 * 100 / \
+        (200 - 8 * (np.sqrt(2) - 1) ** 2 / 2 * 100 / 100 * 100)
+    # compute exact with cv2 instead of fragile algebra
+    exact = cv2_iou(np.asarray(b1[2]), np.asarray(b2[2]))
+    np.testing.assert_allclose(iou[2], exact, atol=1e-3)
+
+
+def test_degenerate_clamped():
+    deg = jnp.asarray([[10., 10., 0., 0., 0.], [10., 10., 5., 5., 0.]])
+    iou = np.asarray(rbbox_overlaps(deg, deg))
+    assert np.isfinite(iou).all()
+    assert iou[1, 1] > 0.999
+    assert iou[0, 1] < 1e-4
+
+
+def test_angle_period():
+    b1 = jnp.asarray([[50., 50., 20., 10., 0.7]])
+    b2 = jnp.asarray([[50., 50., 20., 10., 0.7 + np.pi]])
+    assert float(box_iou_rotated(b1, b2)[0, 0]) > 0.999
+
+
+def test_grad_finite():
+    b1 = jnp.asarray([[50., 50., 20., 10., 0.3]])
+    b2 = jnp.asarray([[52., 51., 18., 12., 0.5]])
+    g = jax.grad(lambda b: diff_iou_rotated_2d(b, b2).sum())(b1)
+    assert np.isfinite(np.asarray(g)).all()
+    # IoU must increase when moving b1 toward b2: gradient of x positive
+    assert float(g[0, 0]) > 0
+
+
+def test_empty_inputs():
+    out = rbbox_overlaps(jnp.zeros((0, 5)), jnp.zeros((3, 5)))
+    assert out.shape == (0, 3)
+    out = rbbox_overlaps(jnp.zeros((3, 5)), jnp.zeros((0, 5)))
+    assert out.shape == (3, 0)
