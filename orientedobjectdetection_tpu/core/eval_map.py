@@ -12,9 +12,37 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
+from functools import partial
 
 from ..ops.iou import box_iou_rotated
+
+
+def _next_bucket(n: int) -> int:
+    """Round up to a power of two (min 16) so the device IoU kernel sees a
+    handful of distinct shapes across the whole evaluation instead of one
+    compile per (n_det, n_gt) pair."""
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
+def _bucketed_iou(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    n, m = dets.shape[0], gts.shape[0]
+    nb, mb = _next_bucket(n), _next_bucket(m)
+    dp = np.zeros((nb, 5), np.float32)
+    gp = np.zeros((mb, 5), np.float32)
+    dp[:n] = dets
+    gp[:m] = gts
+    ious = np.asarray(_iou_jit(jnp.asarray(dp), jnp.asarray(gp)))
+    return ious[:n, :m]
+
+
+@partial(jax.jit)
+def _iou_jit(a, b):
+    return box_iou_rotated(a, b)
 
 
 def tpfp_default(det_bboxes: np.ndarray, gt_bboxes: np.ndarray,
@@ -47,8 +75,7 @@ def tpfp_default(det_bboxes: np.ndarray, gt_bboxes: np.ndarray,
     if num_dets == 0:
         return tp, fp
 
-    ious = np.asarray(box_iou_rotated(jnp.asarray(det_bboxes[:, :5]),
-                                      jnp.asarray(all_gts)))
+    ious = _bucketed_iou(det_bboxes[:, :5], all_gts)
     ious_max = ious.max(axis=1)
     ious_argmax = ious.argmax(axis=1)
     sort_inds = np.argsort(-det_bboxes[:, -1])

@@ -1,0 +1,51 @@
+"""Rotated-box visualization (reference ``core/visualization/image.py:40-244``).
+
+Draws rotated polygons with cv2 (no matplotlib dependency on the hot path).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from ..ops.boxes import obb2poly_np
+
+DOTA_PALETTE = [(165, 42, 42), (189, 183, 107), (0, 255, 0), (255, 0, 0),
+                (138, 43, 226), (255, 128, 0), (255, 0, 255), (0, 255, 255),
+                (255, 193, 193), (0, 51, 153), (255, 250, 205), (0, 139, 139),
+                (255, 255, 0), (147, 116, 116), (0, 0, 255)]
+
+
+def imshow_det_rbboxes(img, result: List[np.ndarray],
+                       class_names: Optional[Sequence[str]] = None,
+                       score_thr: float = 0.3,
+                       thickness: int = 2,
+                       font_scale: float = 0.5,
+                       version: str = 'le90',
+                       palette=None,
+                       out_file: Optional[str] = None):
+    """img: path or BGR ndarray; result: per-class list of (n, 6) dets."""
+    if isinstance(img, str):
+        img = cv2.imread(img, cv2.IMREAD_COLOR)
+    img = img.copy()
+    palette = palette or DOTA_PALETTE
+    for cls, dets in enumerate(result):
+        dets = np.asarray(dets, np.float32).reshape(-1, 6)
+        dets = dets[dets[:, 5] >= score_thr]
+        if len(dets) == 0:
+            continue
+        color = palette[cls % len(palette)]
+        polys = obb2poly_np(dets, version)
+        for p in polys:
+            pts = p[:8].reshape(4, 2).astype(np.int32)
+            cv2.polylines(img, [pts], isClosed=True, color=color,
+                          thickness=thickness)
+            label = class_names[cls] if class_names else str(cls)
+            cv2.putText(img, f'{label}|{p[8]:.2f}',
+                        (int(pts[0, 0]), int(pts[0, 1]) - 3),
+                        cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, 1)
+    if out_file:
+        cv2.imwrite(out_file, img)
+    return img

@@ -2,10 +2,19 @@ from ..utils.registry import (BACKBONES, DETECTORS, HEADS, LOSSES, MODELS,
                               NECKS)
 from . import losses  # noqa: F401  (registers losses)
 from .backbones.resnet import ResNet
-from .dense_heads.rotated_anchor_head import RotatedRetinaHead
-from .detectors.single_stage import (RotatedRetinaNet,
+from .dense_heads.rotated_anchor_head import (KFIoURRetinaHead,
+                                              RotatedRetinaHead)
+from .dense_heads.rotated_fcos_head import CSLRFCOSHead, RotatedFCOSHead
+from .detectors.single_stage import (RotatedFCOS, RotatedRetinaNet,
                                      RotatedSingleStageDetector)
+from .dense_heads.oriented_rpn_head import OrientedRPNHead
+from .detectors.two_stage import (OrientedRCNN, RotatedFasterRCNN,
+                                  RotatedTwoStageDetector)
+from .dense_heads.refine_heads import (ODMRefineHead,
+                                       RotatedRetinaRefineHead)
+from .detectors.refine_detectors import R3Det, S2ANet
 from .necks.fpn import FPN
+from .roi_heads import OrientedStandardRoIHead, RotatedShared2FCBBoxHead
 
 
 def build_detector(cfg, train_cfg=None, test_cfg=None, dtype=None):
@@ -24,7 +33,11 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, dtype=None):
 
 
 __all__ = [
-    'ResNet', 'FPN', 'RotatedRetinaHead', 'RotatedSingleStageDetector',
+    'ResNet', 'FPN', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
+    'RotatedFCOS', 'RotatedSingleStageDetector', 'OrientedRPNHead',
+    'OrientedRCNN', 'RotatedFasterRCNN', 'RotatedTwoStageDetector',
+    'OrientedStandardRoIHead', 'RotatedShared2FCBBoxHead',
+    'ODMRefineHead', 'RotatedRetinaRefineHead', 'S2ANet', 'R3Det',
     'RotatedRetinaNet', 'build_detector', 'MODELS', 'BACKBONES', 'NECKS',
     'HEADS', 'LOSSES', 'DETECTORS',
 ]

@@ -107,14 +107,15 @@ class AnchorHeadLogic:
         return cls_flat, box_flat
 
     # ---- loss (batched) -------------------------------------------------
-    def loss(self, cls_scores, bbox_preds, gt_bboxes, gt_labels, gt_mask):
+    def loss(self, outputs, gt_bboxes, gt_labels, gt_mask):
         """Batched loss.
 
         Args:
-            cls_scores / bbox_preds: per-level (B, H, W, A*C) / (B, H, W, A*5).
+            outputs: (cls_scores, bbox_preds) per-level NHWC head outputs.
             gt_bboxes (B, G, 5); gt_labels (B, G); gt_mask (B, G) bool.
         Returns dict(loss_cls=..., loss_bbox=...).
         """
+        cls_scores, bbox_preds = outputs
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         anchors = self.flat_anchors(featmap_sizes)
 
@@ -131,13 +132,30 @@ class AnchorHeadLogic:
 
         loss_cls = self.cls_loss(cls_flat, labels, weight=lw,
                                  avg_factor=num_pos)
-        loss_bbox = self.bbox_loss(box_flat, bt, weight=bw,
-                                   avg_factor=num_pos)
+        loss_bbox = self._reg_loss(anchors, box_flat, bt, bw, num_pos,
+                                   gt_bboxes)
         return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
+    def _reg_loss(self, anchors, box_flat, bbox_targets, bbox_weights,
+                  num_pos, gt_bboxes):
+        """Regression loss with the mmdet ``reg_decoded_bbox`` option: when
+        set, predictions are decoded first and the loss compares *boxes*
+        (GWD/KLD/IoU losses) instead of deltas (reference
+        ``rotated_anchor_head.py`` loss_single + configs/gwd/kld)."""
+        if getattr(self, 'reg_decoded_bbox', False):
+            decoded = self.coder.decode(anchors[None], box_flat)
+            # targets: re-decode the encoded targets against the anchors to
+            # recover the matched gt boxes (exact inverse for our coders)
+            target_boxes = self.coder.decode(anchors[None], bbox_targets)
+            return self.bbox_loss(decoded, target_boxes, weight=bbox_weights,
+                                  avg_factor=num_pos)
+        return self.bbox_loss(box_flat, bbox_targets, weight=bbox_weights,
+                              avg_factor=num_pos)
+
     # ---- inference ------------------------------------------------------
-    def get_bboxes(self, cls_scores, bbox_preds, img_shape=None,
+    def get_bboxes(self, outputs, img_shape=None,
                    scale_factor=None, rescale: bool = False, cfg=None):
+        cls_scores, bbox_preds = outputs[0], outputs[1]
         """Batched decode + NMS.
 
         Per level: take top ``nms_pre`` candidates by max class score
@@ -221,6 +239,7 @@ class RotatedRetinaHead(nn.Module, AnchorHeadLogic):
     loss_cls: Optional[dict] = None
     loss_bbox: Optional[dict] = None
     assign_by_circumhbbox: Optional[str] = None
+    reg_decoded_bbox: bool = False
     train_cfg: Optional[dict] = None
     test_cfg: Optional[dict] = None
     norm_cfg: Optional[dict] = None
@@ -269,3 +288,18 @@ class RotatedRetinaHead(nn.Module, AnchorHeadLogic):
             cls_scores.append(cls_out(c))
             bbox_preds.append(reg_out(r))
         return tuple(cls_scores), tuple(bbox_preds)
+
+
+@HEADS.register_module()
+class KFIoURRetinaHead(RotatedRetinaHead):
+    """RetinaNet head with KFIoU loss (reference
+    ``dense_heads/kfiou_rotate_retina_head.py``): KFLoss consumes the
+    encoded deltas AND the decoded boxes (pred_decode / targets_decode)."""
+
+    def _reg_loss(self, anchors, box_flat, bbox_targets, bbox_weights,
+                  num_pos, gt_bboxes):
+        pred_decode = self.coder.decode(anchors[None], box_flat)
+        targets_decode = self.coder.decode(anchors[None], bbox_targets)
+        return self.bbox_loss(box_flat, bbox_targets, weight=bbox_weights,
+                              avg_factor=num_pos, pred_decode=pred_decode,
+                              targets_decode=targets_decode)

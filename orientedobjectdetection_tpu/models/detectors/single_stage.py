@@ -38,39 +38,48 @@ class RotatedSingleStageDetector(nn.Module):
         """Build the head module object (cheap dataclass; used both inside
         apply for the forward and outside for loss/decode logic)."""
         cfg = dict(self.bbox_head)
-        cfg.setdefault('train_cfg', self.train_cfg)
-        cfg.setdefault('test_cfg', self.test_cfg)
+        if cfg.get('train_cfg') is None:
+            cfg['train_cfg'] = self.train_cfg
+        if cfg.get('test_cfg') is None:
+            cfg['test_cfg'] = self.test_cfg
         return HEADS.build(cfg, dtype=self.dtype)
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, batch=None, train: bool = False, rng=None):
+        # batch/train/rng accepted for interface parity with two-stage
+        # detectors (single-stage target assignment happens in the loss).
         x = BACKBONES.build(dict(self.backbone), dtype=self.dtype,
                             name='backbone')(images)
         if self.neck is not None:
             x = NECKS.build(dict(self.neck), dtype=self.dtype, name='neck')(x)
         cfg = dict(self.bbox_head)
-        cfg.setdefault('train_cfg', self.train_cfg)
-        cfg.setdefault('test_cfg', self.test_cfg)
+        if cfg.get('train_cfg') is None:
+            cfg['train_cfg'] = self.train_cfg
+        if cfg.get('test_cfg') is None:
+            cfg['test_cfg'] = self.test_cfg
         return HEADS.build(cfg, dtype=self.dtype, name='bbox_head')(x)
 
     # ---- functional logic (no params) ----------------------------------
     @nn.nowrap
     def loss_from_outputs(self, outputs, batch):
         head = self.make_head()
-        cls_scores, bbox_preds = outputs
-        return head.loss(cls_scores, bbox_preds, batch['gt_bboxes'],
+        return head.loss(outputs, batch['gt_bboxes'],
                          batch['gt_labels'], batch['gt_mask'])
 
     @nn.nowrap
     def bboxes_from_outputs(self, outputs, img_shape=None, scale_factor=None,
                             rescale=False):
         head = self.make_head()
-        cls_scores, bbox_preds = outputs
-        return head.get_bboxes(cls_scores, bbox_preds, img_shape=img_shape,
+        return head.get_bboxes(outputs, img_shape=img_shape,
                                scale_factor=scale_factor, rescale=rescale)
 
 
 @DETECTORS.register_module()
 class RotatedRetinaNet(RotatedSingleStageDetector):
     """Thin alias (reference ``detectors/rotated_retinanet.py``)."""
+    pass
+
+@DETECTORS.register_module()
+class RotatedFCOS(RotatedSingleStageDetector):
+    """Thin alias (reference ``detectors/rotated_fcos.py``)."""
     pass

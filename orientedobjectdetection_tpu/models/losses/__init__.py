@@ -1,4 +1,4 @@
-from .common import (CrossEntropyLoss, FocalLoss, L1Loss, SmoothFocalLoss,
+from .common import (CrossEntropyLoss, FocalLoss, IoULoss, L1Loss, SmoothFocalLoss,
                      SmoothL1Loss, reduce_loss, sigmoid_focal_loss,
                      smooth_l1_loss, weighted_loss)
 from .gaussian_dist_loss import GDLoss, GDLoss_v1, xy_wh_r_2_xy_sigma
@@ -8,6 +8,6 @@ from .rotated_iou_loss import RotatedIoULoss
 __all__ = [
     'reduce_loss', 'weighted_loss', 'sigmoid_focal_loss', 'smooth_l1_loss',
     'FocalLoss', 'SmoothFocalLoss', 'L1Loss', 'SmoothL1Loss',
-    'CrossEntropyLoss', 'GDLoss', 'GDLoss_v1', 'KFLoss', 'RotatedIoULoss',
+    'CrossEntropyLoss', 'IoULoss', 'GDLoss', 'GDLoss_v1', 'KFLoss', 'RotatedIoULoss',
     'xy_wh_r_2_xy_sigma',
 ]

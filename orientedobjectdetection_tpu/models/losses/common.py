@@ -179,3 +179,43 @@ class CrossEntropyLoss:
             loss = -(onehot * logp).sum(-1)
         return self.loss_weight * reduce_loss(loss, weight, self.reduction,
                                               avg_factor)
+
+
+@LOSSES.register_module()
+class IoULoss:
+    """Axis-aligned IoU loss over (cx, cy, w, h, 0) boxes — used by the
+    separate-angle (CSL) FCOS path where regression is horizontal in the
+    point frame (reference csl_rotated_fcos_head.py h_bbox path)."""
+
+    def __init__(self, linear: bool = False, eps: float = 1e-6,
+                 reduction: str = 'mean', loss_weight: float = 1.0,
+                 mode: str = 'log'):
+        self.mode = 'linear' if linear else mode
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        def to_xyxy(b):
+            return jnp.stack([b[..., 0] - b[..., 2] / 2,
+                              b[..., 1] - b[..., 3] / 2,
+                              b[..., 0] + b[..., 2] / 2,
+                              b[..., 1] + b[..., 3] / 2], -1)
+        p, t = to_xyxy(pred), to_xyxy(target)
+        lt = jnp.maximum(p[..., :2], t[..., :2])
+        rb = jnp.minimum(p[..., 2:], t[..., 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        union = pred[..., 2] * pred[..., 3] + \
+            target[..., 2] * target[..., 3] - inter
+        ious = jnp.clip(inter / jnp.maximum(union, self.eps), self.eps, 1.0)
+        if weight is not None and weight.ndim > pred.ndim - 1:
+            weight = weight.mean(-1)
+        if self.mode == 'linear':
+            loss = 1 - ious
+        elif self.mode == 'square':
+            loss = 1 - ious ** 2
+        else:
+            loss = -jnp.log(ious)
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)

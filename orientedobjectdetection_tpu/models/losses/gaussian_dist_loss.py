@@ -184,7 +184,7 @@ class GDLoss:
         return jnp.minimum(kpt, ktp)
 
     def __call__(self, pred, target, weight=None, avg_factor=None):
-        if weight is not None and weight.ndim > 1:
+        if weight is not None and weight.ndim == pred.ndim:
             weight = weight.mean(-1)
         p = self.preprocess(pred)
         t = self.preprocess(target)
@@ -212,7 +212,7 @@ class GDLoss_v1:
         self.kwargs = kwargs
 
     def __call__(self, pred, target, weight=None, avg_factor=None):
-        if weight is not None and weight.ndim > 1:
+        if weight is not None and weight.ndim == pred.ndim:
             weight = weight.mean(-1)
         p = xy_wh_r_2_xy_sigma(pred)
         t = xy_wh_r_2_xy_sigma(target)

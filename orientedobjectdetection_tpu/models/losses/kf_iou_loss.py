@@ -73,7 +73,7 @@ class KFLoss:
 
     def __call__(self, pred, target, weight=None, avg_factor=None,
                  pred_decode=None, targets_decode=None):
-        if weight is not None and weight.ndim > 1:
+        if weight is not None and weight.ndim == pred.ndim:
             weight = weight.mean(-1)
         loss = kfiou_loss(pred, target, pred_decode, targets_decode, self.fun)
         return self.loss_weight * reduce_loss(loss, weight, self.reduction,

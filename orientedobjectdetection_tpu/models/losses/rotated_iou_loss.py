@@ -28,7 +28,7 @@ class RotatedIoULoss:
         self.loss_weight = loss_weight
 
     def __call__(self, pred, target, weight=None, avg_factor=None):
-        if weight is not None and weight.ndim > 1:
+        if weight is not None and weight.ndim == pred.ndim:
             weight = weight.mean(-1)
         ious = jnp.clip(diff_iou_rotated_2d(pred, target), self.eps, 1.0)
         if self.mode == 'linear':

@@ -107,9 +107,13 @@ def _intersect_area(boxes1, boxes2):
 
     ang = jnp.arctan2(rel[..., 1], rel[..., 0])
     ang = jnp.where(valid, ang, 1e9)                 # invalid sort to the end
-    order = jnp.argsort(ang, axis=-1)
-    rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
-    valid_sorted = jnp.take_along_axis(valid, order, axis=-1)
+    # Multi-operand sort (key + payloads together) — compiles far faster on
+    # TPU than argsort + take_along_axis gathers.
+    _, xs, ys, vs = jax.lax.sort(
+        (ang, rel[..., 0], rel[..., 1], valid.astype(rel.dtype)),
+        dimension=-1, num_keys=1)
+    rel_sorted = jnp.stack([xs, ys], axis=-1)
+    valid_sorted = vs > 0.5
 
     # Pad the tail (invalid) slots with the first (valid) vertex so the
     # wrap-around shoelace term closes the polygon and padded segments are

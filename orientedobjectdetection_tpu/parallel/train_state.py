@@ -122,7 +122,9 @@ def build_optimizer(optimizer_cfg: dict, lr_schedule: Callable,
 
 
 def create_train_state(detector, rng, sample_images, tx) -> TrainState:
-    variables = detector.init(rng, sample_images)
+    # jit the init: eager flax init dispatches thousands of tiny XLA
+    # programs (minutes on a 1-core host); one jitted program is fast.
+    variables = jax.jit(detector.init)(rng, sample_images)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -134,12 +136,16 @@ def make_train_step(detector, tx, loss_weights: Optional[Dict] = None):
     """Returns the pure train-step fn; jit it with sharded-batch in_shardings
     for multi-chip data parallelism."""
 
-    def train_step(state: TrainState, batch):
+    def train_step(state: TrainState, batch, rng=None):
+        if rng is None:
+            rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
         def loss_fn(params):
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
-            outputs = detector.apply(variables, batch['images'])
+            outputs = detector.apply(variables, batch['images'],
+                                     batch=batch, train=True, rng=rng)
             losses = detector.loss_from_outputs(outputs, batch)
             total = sum(jnp.asarray(v) for v in losses.values())
             return total, losses

@@ -1,9 +1,12 @@
-"""Test config: force an 8-device virtual CPU mesh before JAX is imported.
+"""Test config: force an 8-device virtual CPU mesh before JAX backends init.
 
 The reference's tests are GPU-gated (its mmcv rotated ops have no CPU
 fallback — SURVEY.md §4); ours run everywhere, and multi-device sharding is
-tested on a virtual CPU mesh (the standard
-``xla_force_host_platform_device_count`` trick).
+tested on a virtual 8-device CPU mesh.
+
+Note: this image's axon TPU plugin overrides the ``JAX_PLATFORMS`` env var
+(config resolves to "axon,cpu" regardless), so we must also set the config
+flag programmatically before any backend initializes.
 """
 
 import os
@@ -13,3 +16,7 @@ flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

@@ -1,0 +1,69 @@
+"""Evaluation / submission CLI (reference ``tools/test.py``).
+
+    python tools/test.py <config> <ckpt> --eval mAP
+    python tools/test.py <config> <ckpt> --format-only --submission-dir out/
+"""
+
+import argparse
+import os.path as osp
+import sys
+
+import numpy as np
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description='Test a rotated detector')
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None)
+    p.add_argument('--eval', default=None, choices=[None, 'mAP'])
+    p.add_argument('--format-only', action='store_true')
+    p.add_argument('--submission-dir', default=None)
+    p.add_argument('--out', default=None, help='pickle results path')
+    p.add_argument('--bf16', action='store_true')
+    p.add_argument('--max-images', type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+    from orientedobjectdetection_tpu.apis.inference import (
+        init_detector, inference_detector)
+    from orientedobjectdetection_tpu.datasets import build_dataset
+    from orientedobjectdetection_tpu.utils import Config
+
+    cfg = Config.fromfile(args.config)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    bundle = init_detector(cfg, args.checkpoint, dtype=dtype)
+
+    split = 'test' if args.format_only else 'val'
+    dataset = build_dataset(dict(cfg.data[split], test_mode=True,
+                                 filter_empty_gt=False))
+    n = len(dataset) if args.max_images is None else \
+        min(args.max_images, len(dataset))
+    results = []
+    for i in range(n):
+        info = dataset.data_infos[i]
+        img_path = osp.join(dataset.img_prefix, info['filename'])
+        results.append(inference_detector(bundle, img_path))
+        if (i + 1) % 50 == 0:
+            print(f'{i + 1}/{n}')
+
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+    if args.format_only:
+        path = dataset.format_results(results,
+                                      submission_dir=args.submission_dir)
+        print(f'submission written to {path}')
+    if args.eval:
+        dataset.data_infos = dataset.data_infos[:n]
+        metrics = dataset.evaluate(results, metric=args.eval)
+        print(metrics)
+
+
+if __name__ == '__main__':
+    main()
