@@ -62,20 +62,32 @@ def _greedy_suppress(over_thr):
     """Exact greedy NMS given a (N, N) over-threshold matrix for boxes
     already sorted by descending score. Returns keep mask (N,).
 
-    Sequential in N (greedy NMS is order-dependent); each step is a cheap
-    (N,) vector update under ``lax.fori_loop`` so the whole thing stays
-    on-device with static shapes.
+    TPU formulation: the greedy result is the UNIQUE fixpoint of
+        keep[j] = not exists i < j : keep[i] and over[i, j]
+    (induction over j). Instead of N sequential steps (a 2000-iteration
+    ``fori_loop`` costs ~40 ms), iterate the whole-vector update — one
+    masked (N, N) reduction per round on the VPU — until it stops changing.
+    Convergence is guaranteed (each round fixes at least the first
+    not-yet-stable prefix index); typical suppression chains converge in
+    <10 rounds, worst case N.
     """
     n = over_thr.shape[0]
     idx = jnp.arange(n)
+    lower = over_thr & (idx[:, None] < idx[None, :])   # i suppresses j>i
 
-    def body(i, keep):
-        row = jax.lax.dynamic_index_in_dim(over_thr, i, axis=0,
-                                           keepdims=False)
-        suppress = row & (idx > i) & keep[i]
-        return keep & ~suppress
+    def cond(state):
+        keep, prev_keep, it = state
+        return (it < n) & jnp.any(keep != prev_keep)
 
-    return jax.lax.fori_loop(0, n, body, jnp.ones((n,), bool))
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(lower & keep[:, None], axis=0)
+        return ~suppressed, keep, it + 1
+
+    init = jnp.ones((n,), bool)
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.zeros((n,), bool), jnp.zeros((), jnp.int32)))
+    return keep
 
 
 def nms_rotated(boxes, scores, iou_threshold: float,
