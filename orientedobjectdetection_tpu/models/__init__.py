@@ -1,19 +1,24 @@
 from ..utils.registry import (BACKBONES, DETECTORS, HEADS, LOSSES, MODELS,
                               NECKS)
 from . import losses  # noqa: F401  (registers losses)
+from .backbones.cspnext import CSPNeXt
 from .backbones.resnet import ResNet
 from .dense_heads.rotated_anchor_head import (KFIoURRetinaHead,
                                               RotatedRetinaHead)
 from .dense_heads.rotated_fcos_head import CSLRFCOSHead, RotatedFCOSHead
 from .detectors.single_stage import (RotatedFCOS, RotatedRetinaNet,
-                                     RotatedSingleStageDetector)
+                                     RotatedSingleStageDetector,
+                                     RotatedYOLOv8)
 from .dense_heads.oriented_rpn_head import OrientedRPNHead
 from .detectors.two_stage import (OrientedRCNN, RotatedFasterRCNN,
                                   RotatedTwoStageDetector)
 from .dense_heads.refine_heads import (ODMRefineHead,
                                        RotatedRetinaRefineHead)
 from .detectors.refine_detectors import R3Det, S2ANet
+from .dense_heads.rotated_yolov8_head import (OBBLabelAssigner,
+                                              RotatedYOLOv8Head)
 from .necks.fpn import FPN
+from .necks.pafpn import YOLOv8PAFPN
 from .roi_heads import OrientedStandardRoIHead, RotatedShared2FCBBoxHead
 
 
@@ -33,7 +38,8 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, dtype=None):
 
 
 __all__ = [
-    'ResNet', 'FPN', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
+    'ResNet', 'CSPNeXt', 'FPN', 'YOLOv8PAFPN', 'RotatedYOLOv8',
+    'RotatedYOLOv8Head', 'OBBLabelAssigner', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
     'RotatedFCOS', 'RotatedSingleStageDetector', 'OrientedRPNHead',
     'OrientedRCNN', 'RotatedFasterRCNN', 'RotatedTwoStageDetector',
     'OrientedStandardRoIHead', 'RotatedShared2FCBBoxHead',

@@ -1,0 +1,309 @@
+"""RotatedYOLOv8 head + OBBLabelAssigner (the jy prototypes' head).
+
+Rebuilds reference ``dense_heads/rotated_yolov8_head.py:37-650`` and
+``assigners/obb_label_assigner.py:20-252`` TPU-first: the cost-based dynamic
+top-k assignment (rotate points into the gt frame, inside + center-radius +
+regress-range gates; cost = 0.2*centerness + 0.2*IoU(decoded pred, gt) +
+0.6*cls-prob; top-15 per gt; orphan-gt rematch by max centerness) is one
+fully vectorized (num_points, num_gt) masked computation per image under
+``vmap`` — no per-gt python loop, no dynamic shapes.
+
+Semantics notes vs the reference:
+- assignment resolves point->gt ties by MAX gt area (reference
+  ``obb_label_assigner.py:146`` uses ``areas.max(dim=1)``), kept as-is;
+- background label is ``num_classes`` (the reference hardcodes 15 with
+  num_classes=16 — an off-by-one quirk; configs here use num_classes=15);
+- bbox targets are stride-normalized and the IoU loss compares pred/target
+  decoded in that same stride-normalized space (reference ``loss``, which
+  decodes stride-unit ltrb against image-space points for both operands).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...core.anchors import MlvlPointGenerator
+from ...core.coders import DistanceAnglePointCoder
+from ...ops.iou import rbbox_overlaps
+from ...ops.nms import multiclass_nms_rotated
+from ...utils.registry import BBOX_ASSIGNERS, HEADS, LOSSES
+from ..blocks import ConvModule, make_divisible
+from .rotated_anchor_head import _build
+from .rotated_fcos_head import Scale
+
+INF = 1e8
+
+
+@BBOX_ASSIGNERS.register_module()
+class OBBLabelAssigner:
+    """Vectorized jy cost-based top-k point assigner."""
+
+    def __init__(self, num_classes: int, topk: int = 15,
+                 alpha: float = 1.0, beta: float = 6.0, gamma: float = 1e-7,
+                 angle_version: str = 'le90',
+                 featmap_strides: Sequence[int] = (8, 16, 32),
+                 regress_ranges=((-1, 96), (96, 192), (192, 384)),
+                 bbox_coder: Optional[dict] = None,
+                 iou_calculator: Optional[dict] = None,
+                 center_radius: float = 1.5):
+        self.num_classes = num_classes
+        self.topk = topk
+        self.angle_version = angle_version
+        self.featmap_strides = list(featmap_strides)
+        self.regress_ranges = regress_ranges
+        self.center_radius = center_radius
+        self.coder = DistanceAnglePointCoder(angle_range=angle_version)
+
+    def assign_single(self, points, strides, ranges, gt_bboxes, gt_labels,
+                      gt_mask, bbox_preds, angle_preds, cls_scores):
+        """One image. points (N,2); strides (N,); ranges (N,2); padded gt
+        (G,...); preds flattened (N,4)/(N,1)/(N,C) — stop-gradient applied.
+
+        Returns labels (N,), bbox_targets (N,4) stride-normalized,
+        angle_targets (N,), pos (N,).
+        """
+        bbox_preds = jax.lax.stop_gradient(bbox_preds)
+        angle_preds = jax.lax.stop_gradient(angle_preds)
+        cls_scores = jax.lax.stop_gradient(cls_scores)
+
+        N = points.shape[0]
+        G = gt_bboxes.shape[0]
+        gx, gy, gw, gh, ga = [gt_bboxes[:, i] for i in range(5)]
+        areas = gw * gh                                     # (G,)
+
+        cos_a, sin_a = jnp.cos(ga), jnp.sin(ga)
+        dx = points[:, 0:1] - gx[None]                      # (N, G)
+        dy = points[:, 1:2] - gy[None]
+        ox = dx * cos_a[None] + dy * sin_a[None]
+        oy = -dx * sin_a[None] + dy * cos_a[None]
+        left = gw[None] / 2 + ox
+        right = gw[None] / 2 - ox
+        top = gh[None] / 2 + oy
+        bottom = gh[None] / 2 - oy
+        ltrb = jnp.stack([left, top, right, bottom], -1)    # (N, G, 4)
+        inside = ltrb.min(-1) > 0
+
+        # centerness: 1 - sqrt((dx'^2 + dy'^2)/2) with dx' = 2 ox / w
+        ndx = 2 * ox / jnp.maximum(gw[None], 1e-6)
+        ndy = 2 * oy / jnp.maximum(gh[None], 1e-6)
+        centerness = jnp.clip(
+            1 - jnp.sqrt((ndx ** 2 + ndy ** 2 + 1e-8) / 2), 0)
+
+        # center-radius gate (radius 1.5 strides)
+        radius = self.center_radius * strides[:, None]
+        inside_center = (jnp.abs(ox) < radius) & (jnp.abs(oy) < radius)
+        inside = inside & inside_center
+
+        max_reg = ltrb.max(-1)
+        in_range = (max_reg >= ranges[:, 0:1]) & (max_reg <= ranges[:, 1:2])
+        gate = inside & in_range & gt_mask[None]             # (N, G)
+
+        # decoded predictions (stride-scaled ltrb, image points)
+        pred_full = jnp.concatenate(
+            [bbox_preds * strides[:, None], angle_preds], -1)
+        det_rbboxes = self.coder.decode(points, pred_full)   # (N, 5)
+        probs = jax.nn.softmax(cls_scores, -1)               # (N, C)
+
+        iou = rbbox_overlaps(det_rbboxes, gt_bboxes)         # (N, G)
+        safe_labels = jnp.clip(gt_labels, 0, probs.shape[-1] - 1)
+        cls_prob = probs[:, safe_labels]                     # (N, G)
+        cost = (0.2 * centerness + 0.2 * iou + 0.6 * cls_prob) * gate
+
+        # top-k per gt over points
+        k = min(self.topk, N)
+        top_vals, top_idx = jax.lax.top_k(cost.T, k)         # (G, k)
+        topk_mask = jnp.zeros((G, N), bool).at[
+            jnp.arange(G)[:, None], top_idx].set(top_vals > 0)
+        valid = gate & topk_mask.T                           # (N, G)
+
+        # assignment: max gt AREA among valid candidates (reference quirk)
+        eff_area = jnp.where(valid, areas[None], 0.0)
+        max_area = eff_area.max(-1)
+        idx = eff_area.argmax(-1)                            # (N,)
+        pos = max_area > 0
+
+        # orphan-gt rematch by max centerness (obb_label_assigner.py:153-157)
+        has_match = jnp.zeros((G,), bool).at[idx].max(pos)
+        orphan = gt_mask & ~has_match
+        best_pt = centerness.argmax(axis=0)                  # (G,)
+        idx = idx.at[best_pt].set(
+            jnp.where(orphan, jnp.arange(G), idx[best_pt]))
+        pos = pos.at[best_pt].set(jnp.where(orphan, True, pos[best_pt]))
+
+        labels = jnp.where(pos, gt_labels[idx], self.num_classes)
+        pt_range = jnp.arange(N)
+        bbox_targets = ltrb[pt_range, idx] / strides[:, None]
+        angle_targets = ga[idx]
+        return labels, bbox_targets, angle_targets, pos
+
+
+@HEADS.register_module()
+class RotatedYOLOv8Head(nn.Module):
+    num_classes: int = 15
+    in_channels: Sequence[int] = (256, 512, 768)
+    widen_factor: float = 1.0
+    reg_max: int = 0
+    featmap_strides: Sequence[int] = (8, 16, 32)
+    regress_ranges: Tuple = ((-1, 96), (96, 192), (192, 384))
+    bbox_coder: Optional[dict] = None
+    loss_cls: Optional[dict] = None
+    loss_bbox: Optional[dict] = None
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def coder(self):
+        version = (self.bbox_coder or {}).get('angle_version', 'le90')
+        return DistanceAnglePointCoder(angle_range=version)
+
+    @property
+    def prior_generator(self):
+        return MlvlPointGenerator(strides=list(self.featmap_strides),
+                                  offset=0.5)
+
+    @property
+    def assigner(self):
+        cfg = dict((self.train_cfg or {}).get('assigner') or dict(
+            type='OBBLabelAssigner', num_classes=self.num_classes,
+            featmap_strides=list(self.featmap_strides),
+            regress_ranges=self.regress_ranges, topk=15))
+        return _build(BBOX_ASSIGNERS, cfg)
+
+    @nn.compact
+    def __call__(self, feats):
+        assert len(feats) == len(self.featmap_strides)
+        chans = [make_divisible(c, self.widen_factor)
+                 for c in self.in_channels]
+        reg_out = max(16, chans[0] // 4)
+        cls_out = max(chans[0], self.num_classes)
+
+        cls_scores, bbox_preds, angle_preds = [], [], []
+        for i, x in enumerate(feats):
+            c = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'cls_conv_{i}_0')(x)
+            c = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'cls_conv_{i}_1')(c)
+            bias_init = nn.initializers.constant(math.log(
+                5 / self.num_classes /
+                (1024 / self.featmap_strides[i]) ** 2))
+            cls_scores.append(nn.Conv(self.num_classes, (1, 1),
+                                      bias_init=bias_init, dtype=self.dtype,
+                                      name=f'cls_pred_{i}')(c))
+            r = ConvModule(reg_out, 3, dtype=self.dtype,
+                           name=f'reg_conv_{i}_0')(x)
+            r = ConvModule(reg_out, 3, dtype=self.dtype,
+                           name=f'reg_conv_{i}_1')(r)
+            rp = nn.Conv(4, (1, 1), bias_init=nn.initializers.ones,
+                         dtype=self.dtype, name=f'reg_pred_{i}')(r)
+            rp = Scale(name=f'scale_{i}')(rp)
+            bbox_preds.append(jnp.clip(rp.astype(jnp.float32), 0))
+            a = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'ang_conv_{i}_0')(x)
+            a = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'ang_conv_{i}_1')(a)
+            angle_preds.append(nn.Conv(1, (1, 1),
+                                       bias_init=nn.initializers.ones,
+                                       dtype=self.dtype,
+                                       name=f'ang_pred_{i}')(a))
+        return tuple(cls_scores), tuple(bbox_preds), tuple(angle_preds)
+
+    # ---- flattening helpers ----------------------------------------------
+    def _flat(self, outputs):
+        cls_scores, bbox_preds, angle_preds = outputs
+        b = cls_scores[0].shape[0]
+        cls_flat = jnp.concatenate(
+            [s.reshape(b, -1, self.num_classes) for s in cls_scores], 1)
+        box_flat = jnp.concatenate(
+            [p.reshape(b, -1, 4) for p in bbox_preds], 1)
+        ang_flat = jnp.concatenate(
+            [a.reshape(b, -1, 1) for a in angle_preds], 1)
+        return cls_flat, box_flat, ang_flat
+
+    def _points(self, featmap_sizes):
+        pts = self.prior_generator.grid_priors(featmap_sizes,
+                                               with_stride=True)
+        ranges = []
+        for lvl, p in enumerate(pts):
+            ranges.append(jnp.tile(jnp.asarray(
+                self.regress_ranges[lvl], jnp.float32)[None],
+                (p.shape[0], 1)))
+        return (jnp.concatenate([p[:, :2] for p in pts], 0),
+                jnp.concatenate([p[:, 2] for p in pts], 0),
+                jnp.concatenate(ranges, 0))
+
+    # ---- loss -------------------------------------------------------------
+    def loss(self, outputs, gt_bboxes, gt_labels, gt_mask):
+        cls_scores, bbox_preds, angle_preds = outputs
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        points, strides, ranges = self._points(featmap_sizes)
+        cls_flat, box_flat, ang_flat = self._flat(outputs)
+        assigner = self.assigner
+
+        labels, bt, at, pos = jax.vmap(
+            lambda gb, gl, gm, bp, ap, cs: assigner.assign_single(
+                points, strides, ranges, gb, gl, gm, bp, ap, cs)
+        )(gt_bboxes, gt_labels, gt_mask, box_flat, ang_flat, cls_flat)
+
+        num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+        pw = pos.astype(jnp.float32)
+
+        loss_cls = _build(LOSSES, dict(
+            self.loss_cls or dict(type='FocalLoss')))(
+                cls_flat, labels, weight=jnp.ones_like(pw),
+                avg_factor=num_pos)
+
+        # decode pred/target in the stride-normalized space (see module
+        # docstring) and compare with the rotated IoU loss.
+        pred_full = jnp.concatenate([box_flat, ang_flat], -1)
+        tgt_full = jnp.concatenate([bt, at[..., None]], -1)
+        pred_dec = self.coder.decode(points[None], pred_full)
+        tgt_dec = self.coder.decode(points[None], tgt_full)
+        loss_bbox = _build(LOSSES, dict(
+            self.loss_bbox or dict(type='RotatedIoULoss')))(
+                pred_dec, tgt_dec, weight=pw,
+                avg_factor=jnp.maximum(pw.sum(), 1.0))
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+    # ---- inference ----------------------------------------------------------
+    def get_bboxes(self, outputs, img_shape=None, scale_factor=None,
+                   rescale: bool = False, cfg=None):
+        cls_scores, bbox_preds, angle_preds = outputs
+        cfg = cfg if cfg is not None else self.test_cfg
+        nms_pre = int(cfg.get('nms_pre', 2000))
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        points, strides, _ = self._points(featmap_sizes)
+        cls_flat, box_flat, ang_flat = self._flat(outputs)
+
+        def per_image(scores, boxes, angles):
+            scores = jax.nn.sigmoid(scores)                 # (N, C)
+            pred_full = jnp.concatenate(
+                [boxes * strides[:, None], angles], -1)
+            decoded = self.coder.decode(points, pred_full,
+                                        max_shape=img_shape)
+            k = min(nms_pre, scores.shape[0])
+            _, top_idx = jax.lax.top_k(scores.max(-1), k)
+            sel_boxes = decoded[top_idx]
+            sel_scores = scores[top_idx]
+            if rescale and scale_factor is not None:
+                sf = jnp.asarray(scale_factor)
+                sel_boxes = sel_boxes.at[:, :4].divide(
+                    jnp.concatenate([sf[:2], sf[:2]]))
+            sel_scores = jnp.concatenate(
+                [sel_scores, jnp.zeros_like(sel_scores[:, :1])], -1)
+            nms_cfg = cfg.get('nms', {'iou_thr': 0.1})
+            return multiclass_nms_rotated(
+                sel_boxes, sel_scores,
+                score_thr=float(cfg.get('score_thr', 0.05)),
+                iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
+                max_per_img=int(cfg.get('max_per_img', 2000)))
+
+        return jax.vmap(per_image)(cls_flat, box_flat, ang_flat)

@@ -83,3 +83,8 @@ class RotatedRetinaNet(RotatedSingleStageDetector):
 class RotatedFCOS(RotatedSingleStageDetector):
     """Thin alias (reference ``detectors/rotated_fcos.py``)."""
     pass
+
+@DETECTORS.register_module()
+class RotatedYOLOv8(RotatedSingleStageDetector):
+    """Thin alias (reference ``detectors/rotated_yolov8.py:7-17``)."""
+    pass

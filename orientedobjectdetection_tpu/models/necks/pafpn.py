@@ -1,0 +1,73 @@
+"""YOLOv8 PAFPN neck (reference ``necks/pafpn.py:192-`` on the
+``BaseYOLONeck`` scaffold ``base_yolo_neck.py:19-269``).
+
+Top-down: upsample + concat + C2f; bottom-up: stride-2 conv + concat + C2f;
+no reduce/out layers (identity) — the YOLOv8 layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.registry import NECKS
+from ..blocks import (ConvModule, CSPLayerWithTwoConv, make_divisible,
+                      make_round)
+
+
+def upsample2x(x):
+    b, h, w, c = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+@NECKS.register_module()
+class YOLOv8PAFPN(nn.Module):
+    in_channels: Sequence[int] = (256, 512, 1024)
+    out_channels: Union[Sequence[int], int] = (256, 512, 1024)
+    deepen_factor: float = 1.0
+    widen_factor: float = 1.0
+    num_csp_blocks: int = 3
+    freeze_all: bool = False
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        assert len(feats) == len(self.in_channels)
+        wf, df = self.widen_factor, self.deepen_factor
+        out_ch = self.out_channels
+        if isinstance(out_ch, int):
+            out_ch = [out_ch] * len(self.in_channels)
+        n_blocks = make_round(self.num_csp_blocks, df)
+        L = len(feats)
+
+        # top-down
+        inner = [feats[-1]]
+        for idx in range(L - 1, 0, -1):
+            high = inner[0]
+            low = feats[idx - 1]
+            up = upsample2x(high)
+            cat = jnp.concatenate([up, low], axis=-1)
+            td = CSPLayerWithTwoConv(
+                make_divisible(out_ch[idx - 1], wf), num_blocks=n_blocks,
+                add_identity=False, dtype=self.dtype,
+                name=f'top_down_{idx - 1}')(cat)
+            inner.insert(0, td)
+
+        # bottom-up
+        outs = [inner[0]]
+        for idx in range(L - 1):
+            low = outs[-1]
+            down = ConvModule(low.shape[-1], 3, stride=2, dtype=self.dtype,
+                              name=f'downsample_{idx}')(low)
+            cat = jnp.concatenate([down, inner[idx + 1]], axis=-1)
+            bu = CSPLayerWithTwoConv(
+                make_divisible(out_ch[idx + 1], wf), num_blocks=n_blocks,
+                add_identity=False, dtype=self.dtype,
+                name=f'bottom_up_{idx}')(cat)
+            outs.append(bu)
+        return tuple(outs)
