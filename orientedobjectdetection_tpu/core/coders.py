@@ -413,3 +413,55 @@ class CSLCoder:
         idx = jnp.argmax(angle_preds, axis=-1).astype(jnp.float32)
         deg = idx * self.omega + self.omega / 2 - self.angle_offset
         return deg * (PI / 180)
+
+
+@BBOX_CODERS.register_module()
+class DeltaXYWHBBoxCoder:
+    """Axis-aligned 4-param delta coder (mmdet's) for the HBB-proposal RPN
+    paths (RotatedRPNHead: gliding vertex / rotated faster r-cnn /
+    roi-transformer)."""
+
+    encode_size = 4
+
+    def __init__(self, target_means=(0., 0., 0., 0.),
+                 target_stds=(1., 1., 1., 1.)):
+        self.means = jnp.asarray(target_means, jnp.float32)
+        self.stds = jnp.asarray(target_stds, jnp.float32)
+
+    def encode(self, bboxes, gt_bboxes):
+        """bboxes/gt (..., 4) xyxy -> deltas."""
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0]
+        ph = bboxes[..., 3] - bboxes[..., 1]
+        gx = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+        gy = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+        gw = gt_bboxes[..., 2] - gt_bboxes[..., 0]
+        gh = gt_bboxes[..., 3] - gt_bboxes[..., 1]
+        deltas = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                            jnp.log(gw / pw), jnp.log(gh / ph)], -1)
+        return (deltas - self.means) / self.stds
+
+    def decode(self, bboxes, pred, max_shape=None,
+               wh_ratio_clip: float = 16 / 1000):
+        denorm = pred * self.stds + self.means
+        dx, dy, dw, dh = [denorm[..., i] for i in range(4)]
+        px = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+        py = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+        pw = bboxes[..., 2] - bboxes[..., 0]
+        ph = bboxes[..., 3] - bboxes[..., 1]
+        max_ratio = abs(math.log(wh_ratio_clip))
+        dw = jnp.clip(dw, -max_ratio, max_ratio)
+        dh = jnp.clip(dh, -max_ratio, max_ratio)
+        gx = px + pw * dx
+        gy = py + ph * dy
+        gw = pw * jnp.exp(dw)
+        gh = ph * jnp.exp(dh)
+        x1, y1 = gx - gw / 2, gy - gh / 2
+        x2, y2 = gx + gw / 2, gy + gh / 2
+        if max_shape is not None:
+            x1 = jnp.clip(x1, 0, max_shape[1])
+            y1 = jnp.clip(y1, 0, max_shape[0])
+            x2 = jnp.clip(x2, 0, max_shape[1])
+            y2 = jnp.clip(y2, 0, max_shape[0])
+        return jnp.stack([x1, y1, x2, y2], -1)

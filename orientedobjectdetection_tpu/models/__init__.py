@@ -4,14 +4,19 @@ from . import losses  # noqa: F401  (registers losses)
 from .backbones.cspnext import CSPNeXt
 from .backbones.resnet import ResNet
 from .dense_heads.rotated_anchor_head import (KFIoURRetinaHead,
+                                              RotatedATSSHead,
                                               RotatedRetinaHead)
 from .dense_heads.rotated_fcos_head import CSLRFCOSHead, RotatedFCOSHead
 from .detectors.single_stage import (RotatedFCOS, RotatedRetinaNet,
                                      RotatedSingleStageDetector,
                                      RotatedYOLOv8)
 from .dense_heads.oriented_rpn_head import OrientedRPNHead
-from .detectors.two_stage import (OrientedRCNN, RotatedFasterRCNN,
+from .dense_heads.rotated_rpn_head import RotatedRPNHead
+from .detectors.two_stage import (GlidingVertex, OrientedRCNN,
+                                  RoITransformer, RotatedFasterRCNN,
                                   RotatedTwoStageDetector)
+from .roi_heads.gv_trans_heads import (GVBBoxHead, GVRatioRoIHead,
+                                       RoITransRoIHead)
 from .dense_heads.refine_heads import (ODMRefineHead,
                                        RotatedRetinaRefineHead)
 from .detectors.refine_detectors import R3Det, S2ANet
@@ -39,9 +44,11 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, dtype=None):
 
 __all__ = [
     'ResNet', 'CSPNeXt', 'FPN', 'YOLOv8PAFPN', 'RotatedYOLOv8',
-    'RotatedYOLOv8Head', 'OBBLabelAssigner', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
+    'RotatedYOLOv8Head', 'OBBLabelAssigner', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedATSSHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
     'RotatedFCOS', 'RotatedSingleStageDetector', 'OrientedRPNHead',
     'OrientedRCNN', 'RotatedFasterRCNN', 'RotatedTwoStageDetector',
+    'GlidingVertex', 'RoITransformer', 'RotatedRPNHead', 'GVBBoxHead',
+    'GVRatioRoIHead', 'RoITransRoIHead',
     'OrientedStandardRoIHead', 'RotatedShared2FCBBoxHead',
     'ODMRefineHead', 'RotatedRetinaRefineHead', 'S2ANet', 'R3Det',
     'RotatedRetinaNet', 'build_detector', 'MODELS', 'BACKBONES', 'NECKS',

@@ -303,3 +303,46 @@ class KFIoURRetinaHead(RotatedRetinaHead):
         return self.bbox_loss(box_flat, bbox_targets, weight=bbox_weights,
                               avg_factor=num_pos, pred_decode=pred_decode,
                               targets_decode=targets_decode)
+
+@HEADS.register_module()
+class RotatedATSSHead(RotatedRetinaHead):
+    """ATSS-assigned retina head (reference ``rotated_atss_head.py:12-234``):
+    identical towers; the assigner needs per-level anchor counts for its
+    top-k-per-level candidate selection."""
+
+    def loss(self, outputs, gt_bboxes, gt_labels, gt_mask):
+        cls_scores, bbox_preds = outputs
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        levels = self.prior_generator.grid_priors(featmap_sizes)
+        num_level = [lv.shape[0] for lv in levels]
+        anchors = jnp.concatenate(levels, axis=0)
+        assigner = self.assigner
+
+        def targets_single(gb, gl, gm):
+            assign = assigner(anchors, num_level, gb, gl, gm)
+            pos = assign.assigned_gt_inds >= 0
+            neg = assign.assigned_gt_inds == -1
+            safe = jnp.clip(assign.assigned_gt_inds, 0, None)
+            bt = self.coder.encode(anchors, gb[safe])
+            bt = jnp.where(pos[:, None], bt, 0.0)
+            labels = jnp.where(pos, assign.labels, self.num_classes)
+            return labels, (pos | neg).astype(jnp.float32), bt, \
+                pos.astype(jnp.float32), pos
+
+        labels, lw, bt, bw, pos = jax.vmap(targets_single)(
+            gt_bboxes, gt_labels, gt_mask)
+        cls_flat, box_flat = self._flatten_preds(cls_scores, bbox_preds)
+        num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+        loss_cls = self.cls_loss(cls_flat, labels, weight=lw,
+                                 avg_factor=num_pos)
+        loss_bbox = self._reg_loss(anchors, box_flat, bt, bw, num_pos,
+                                   gt_bboxes)
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+
+    @property
+    def assigner(self):
+        cfg = dict(self.train_cfg['assigner'])
+        cfg.pop('iou_calculator', None)
+        from ...core.assigners import ATSSObbAssigner
+        return ATSSObbAssigner(**{k: v for k, v in cfg.items()
+                                  if k != 'type'})

@@ -125,3 +125,170 @@ class OrientedRCNN(RotatedTwoStageDetector):
 class RotatedFasterRCNN(RotatedTwoStageDetector):
     """Thin alias (reference ``detectors/rotate_faster_rcnn.py``)."""
     pass
+
+@DETECTORS.register_module()
+class GlidingVertex(nn.Module):
+    """Gliding Vertex detector (reference ``detectors/gliding_vertex.py``):
+    HBB RPN -> GVRatioRoIHead (cls + hbb deltas + gliding fix + ratio)."""
+    backbone: Optional[dict] = None
+    neck: Optional[dict] = None
+    rpn_head: Optional[dict] = None
+    roi_head: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.nowrap
+    def make_rpn_head(self):
+        cfg = dict(self.rpn_head)
+        if cfg.get('train_cfg') is None:
+            cfg['train_cfg'] = (self.train_cfg or {}).get('rpn')
+        if cfg.get('test_cfg') is None:
+            cfg['test_cfg'] = (self.test_cfg or {}).get('rpn')
+        return HEADS.build(cfg, dtype=self.dtype)
+
+    @nn.nowrap
+    def make_roi_head(self):
+        cfg = dict(self.roi_head)
+        if cfg.get('train_cfg') is None:
+            cfg['train_cfg'] = (self.train_cfg or {}).get('rcnn')
+        if cfg.get('test_cfg') is None:
+            cfg['test_cfg'] = (self.test_cfg or {}).get('rcnn')
+        return HEADS.build(cfg, dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, images, batch=None, train: bool = False, rng=None):
+        feats = BACKBONES.build(dict(self.backbone), dtype=self.dtype,
+                                name='backbone')(images)
+        if self.neck is not None:
+            feats = NECKS.build(dict(self.neck), dtype=self.dtype,
+                                name='neck')(feats)
+        rpn_cfg = dict(self.rpn_head)
+        if rpn_cfg.get('train_cfg') is None:
+            rpn_cfg['train_cfg'] = (self.train_cfg or {}).get('rpn')
+        if rpn_cfg.get('test_cfg') is None:
+            rpn_cfg['test_cfg'] = (self.test_cfg or {}).get('rpn')
+        rpn = HEADS.build(rpn_cfg, dtype=self.dtype, name='rpn_head')
+        rpn_outputs = rpn(feats)
+        rpn_logic = self.make_rpn_head()
+        roi_logic = self.make_roi_head()
+        roi_cfg = dict(self.roi_head)
+        if roi_cfg.get('train_cfg') is None:
+            roi_cfg['train_cfg'] = (self.train_cfg or {}).get('rcnn')
+        if roi_cfg.get('test_cfg') is None:
+            roi_cfg['test_cfg'] = (self.test_cfg or {}).get('rcnn')
+        roi = HEADS.build(roi_cfg, dtype=self.dtype, name='roi_head')
+        if train:
+            proposal_cfg = (self.train_cfg or {}).get(
+                'rpn_proposal', (self.test_cfg or {}).get('rpn'))
+            props, scores, pvalid = rpn_logic.get_proposals(
+                jax.lax.stop_gradient(rpn_outputs), cfg=proposal_cfg)
+            targets = roi_logic.sample_rois(
+                props, pvalid, batch['gt_bboxes'], batch['gt_labels'],
+                batch['gt_mask'], rng)
+            head_outputs = roi(feats, targets[0])
+            return dict(rpn_outputs=rpn_outputs, targets=targets,
+                        head_outputs=head_outputs)
+        props, scores, pvalid = rpn_logic.get_proposals(
+            rpn_outputs, cfg=(self.test_cfg or {}).get('rpn'))
+        head_outputs = roi(feats, props)
+        return dict(proposals=props, head_outputs=head_outputs)
+
+    @nn.nowrap
+    def loss_from_outputs(self, outputs, batch):
+        losses = self.make_rpn_head().loss(
+            outputs['rpn_outputs'], batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_mask'])
+        losses.update(self.make_roi_head().loss(outputs['head_outputs'],
+                                                outputs['targets']))
+        return losses
+
+    @nn.nowrap
+    def bboxes_from_outputs(self, outputs, img_shape=None,
+                            scale_factor=None, rescale=False):
+        return self.make_roi_head().get_bboxes(
+            outputs['proposals'], outputs['head_outputs'],
+            cfg=(self.test_cfg or {}).get('rcnn'), img_shape=img_shape)
+
+
+@DETECTORS.register_module()
+class RoITransformer(nn.Module):
+    """RoI-Transformer (reference ``detectors/roi_transformer.py`` +
+    ``roi_trans_roi_head.py``): HBB RPN -> 2-stage cascade."""
+    backbone: Optional[dict] = None
+    neck: Optional[dict] = None
+    rpn_head: Optional[dict] = None
+    roi_head: Optional[dict] = None
+    train_cfg: Optional[dict] = None
+    test_cfg: Optional[dict] = None
+    pretrained: Optional[str] = None
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.nowrap
+    def make_rpn_head(self):
+        cfg = dict(self.rpn_head)
+        if cfg.get('train_cfg') is None:
+            cfg['train_cfg'] = (self.train_cfg or {}).get('rpn')
+        if cfg.get('test_cfg') is None:
+            cfg['test_cfg'] = (self.test_cfg or {}).get('rpn')
+        return HEADS.build(cfg, dtype=self.dtype)
+
+    @nn.nowrap
+    def make_roi_head(self):
+        cfg = dict(self.roi_head)
+        if cfg.get('train_cfg') is None:
+            cfg['train_cfg'] = (self.train_cfg or {}).get('rcnn')
+        if cfg.get('test_cfg') is None:
+            cfg['test_cfg'] = (self.test_cfg or {}).get('rcnn')
+        return HEADS.build(cfg, dtype=self.dtype)
+
+    @nn.compact
+    def __call__(self, images, batch=None, train: bool = False, rng=None):
+        feats = BACKBONES.build(dict(self.backbone), dtype=self.dtype,
+                                name='backbone')(images)
+        if self.neck is not None:
+            feats = NECKS.build(dict(self.neck), dtype=self.dtype,
+                                name='neck')(feats)
+        rpn_cfg = dict(self.rpn_head)
+        if rpn_cfg.get('train_cfg') is None:
+            rpn_cfg['train_cfg'] = (self.train_cfg or {}).get('rpn')
+        if rpn_cfg.get('test_cfg') is None:
+            rpn_cfg['test_cfg'] = (self.test_cfg or {}).get('rpn')
+        rpn = HEADS.build(rpn_cfg, dtype=self.dtype, name='rpn_head')
+        rpn_outputs = rpn(feats)
+        rpn_logic = self.make_rpn_head()
+        roi_cfg = dict(self.roi_head)
+        if roi_cfg.get('train_cfg') is None:
+            roi_cfg['train_cfg'] = (self.train_cfg or {}).get('rcnn')
+        if roi_cfg.get('test_cfg') is None:
+            roi_cfg['test_cfg'] = (self.test_cfg or {}).get('rcnn')
+        roi = HEADS.build(roi_cfg, dtype=self.dtype, name='roi_head')
+        if train:
+            proposal_cfg = (self.train_cfg or {}).get(
+                'rpn_proposal', (self.test_cfg or {}).get('rpn'))
+            props, scores, pvalid = rpn_logic.get_proposals(
+                jax.lax.stop_gradient(rpn_outputs), cfg=proposal_cfg)
+            stage_data = roi(feats, props, batch=batch, train=True, rng=rng)
+            return dict(rpn_outputs=rpn_outputs, stage_data=stage_data)
+        props, scores, pvalid = rpn_logic.get_proposals(
+            rpn_outputs, cfg=(self.test_cfg or {}).get('rpn'))
+        roi_outputs = roi(feats, props)
+        return dict(roi_outputs=roi_outputs)
+
+    @nn.nowrap
+    def loss_from_outputs(self, outputs, batch):
+        losses = self.make_rpn_head().loss(
+            outputs['rpn_outputs'], batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_mask'])
+        losses.update(self.make_roi_head().loss(outputs['stage_data']))
+        return losses
+
+    @nn.nowrap
+    def bboxes_from_outputs(self, outputs, img_shape=None,
+                            scale_factor=None, rescale=False):
+        return self.make_roi_head().get_bboxes(
+            outputs['roi_outputs'], cfg=(self.test_cfg or {}).get('rcnn'),
+            img_shape=img_shape)
