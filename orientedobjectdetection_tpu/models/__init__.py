@@ -8,6 +8,7 @@ from .dense_heads.rotated_anchor_head import (KFIoURRetinaHead,
                                               RotatedRetinaHead)
 from .dense_heads.rotated_fcos_head import CSLRFCOSHead, RotatedFCOSHead
 from .detectors.single_stage import (RotatedFCOS, RotatedRetinaNet,
+                                     RotatedRepPoints,
                                      RotatedSingleStageDetector,
                                      RotatedYOLOv8)
 from .dense_heads.oriented_rpn_head import OrientedRPNHead
@@ -20,6 +21,12 @@ from .roi_heads.gv_trans_heads import (GVBBoxHead, GVRatioRoIHead,
 from .dense_heads.refine_heads import (ODMRefineHead,
                                        RotatedRetinaRefineHead)
 from .detectors.refine_detectors import R3Det, S2ANet
+from .dense_heads.rotated_reppoints_head import (ConvexAssigner,
+                                                 ConvexGIoULoss,
+                                                 MaxConvexIoUAssigner,
+                                                 OrientedRepPointsHead,
+                                                 RotatedRepPointsHead,
+                                                 SAMRepPointsHead)
 from .dense_heads.rotated_yolov8_head import (OBBLabelAssigner,
                                               RotatedYOLOv8Head)
 from .necks.fpn import FPN
@@ -44,7 +51,9 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, dtype=None):
 
 __all__ = [
     'ResNet', 'CSPNeXt', 'FPN', 'YOLOv8PAFPN', 'RotatedYOLOv8',
-    'RotatedYOLOv8Head', 'OBBLabelAssigner', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedATSSHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
+    'RotatedYOLOv8Head', 'OBBLabelAssigner', 'RotatedRepPointsHead',
+    'OrientedRepPointsHead', 'SAMRepPointsHead', 'RotatedRepPoints',
+    'ConvexAssigner', 'MaxConvexIoUAssigner', 'ConvexGIoULoss', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedATSSHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
     'RotatedFCOS', 'RotatedSingleStageDetector', 'OrientedRPNHead',
     'OrientedRCNN', 'RotatedFasterRCNN', 'RotatedTwoStageDetector',
     'GlidingVertex', 'RoITransformer', 'RotatedRPNHead', 'GVBBoxHead',

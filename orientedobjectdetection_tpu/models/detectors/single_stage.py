@@ -88,3 +88,8 @@ class RotatedFCOS(RotatedSingleStageDetector):
 class RotatedYOLOv8(RotatedSingleStageDetector):
     """Thin alias (reference ``detectors/rotated_yolov8.py:7-17``)."""
     pass
+
+@DETECTORS.register_module()
+class RotatedRepPoints(RotatedSingleStageDetector):
+    """Thin alias (reference ``detectors/rotated_reppoints.py``)."""
+    pass

@@ -105,3 +105,33 @@ def align_conv_sample(feat: jnp.ndarray, anchors: jnp.ndarray,
 
     samples = bilinear_sample(feat, px.reshape(b, -1), py.reshape(b, -1))
     return samples.reshape(b, h, w, k * k, c)
+
+
+def deform_conv_sample(feat: jnp.ndarray, offsets: jnp.ndarray,
+                       kernel: int = 3):
+    """Deformable-conv sampling with learned offsets.
+
+    Replaces ``mmcv.ops.DeformConv2d`` for the RepPoints heads (reference
+    ``dense_heads/*reppoints*.py:6-8``): sample the k*k taps at
+    (base grid + offset) per location, then apply a Dense over k*k*C — the
+    gather+matmul decomposition of DCN (MXU-friendly).
+
+    Args:
+        feat: (B, H, W, C).
+        offsets: (B, H, W, k*k*2) in pixels (dy, dx order per tap, matching
+            torchvision/mmcv DCN convention).
+    Returns: (B, H, W, k*k, C) taps.
+    """
+    b, h, w, c = feat.shape
+    k = kernel
+    base = jnp.arange(-(k // 2), k // 2 + 1, dtype=jnp.float32)
+    gy, gx = jnp.meshgrid(base, base, indexing='ij')
+    gy = gy.ravel()                                    # (k*k,)
+    gx = gx.ravel()
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    off = offsets.reshape(b, h, w, k * k, 2)
+    py = ys[None, :, :, None] + gy[None, None, None, :] + off[..., 0]
+    px = xs[None, :, :, None] + gx[None, None, None, :] + off[..., 1]
+    samples = bilinear_sample(feat, px.reshape(b, -1), py.reshape(b, -1))
+    return samples.reshape(b, h, w, k * k, c)
