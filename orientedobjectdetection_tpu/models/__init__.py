@@ -2,6 +2,7 @@ from ..utils.registry import (BACKBONES, DETECTORS, HEADS, LOSSES, MODELS,
                               NECKS)
 from . import losses  # noqa: F401  (registers losses)
 from .backbones.cspnext import CSPNeXt
+from .backbones.re_resnet import ReFPN, ReResNet, ri_roi_align_rotated
 from .backbones.resnet import ResNet
 from .dense_heads.rotated_anchor_head import (KFIoURRetinaHead,
                                               RotatedATSSHead,
@@ -13,7 +14,7 @@ from .detectors.single_stage import (RotatedFCOS, RotatedRetinaNet,
                                      RotatedYOLOv8)
 from .dense_heads.oriented_rpn_head import OrientedRPNHead
 from .dense_heads.rotated_rpn_head import RotatedRPNHead
-from .detectors.two_stage import (GlidingVertex, OrientedRCNN,
+from .detectors.two_stage import (GlidingVertex, OrientedRCNN, ReDet,
                                   RoITransformer, RotatedFasterRCNN,
                                   RotatedTwoStageDetector)
 from .roi_heads.gv_trans_heads import (GVBBoxHead, GVRatioRoIHead,
@@ -57,6 +58,7 @@ __all__ = [
     'RotatedFCOS', 'RotatedSingleStageDetector', 'OrientedRPNHead',
     'OrientedRCNN', 'RotatedFasterRCNN', 'RotatedTwoStageDetector',
     'GlidingVertex', 'RoITransformer', 'RotatedRPNHead', 'GVBBoxHead',
+    'ReDet', 'ReResNet', 'ReFPN',
     'GVRatioRoIHead', 'RoITransRoIHead',
     'OrientedStandardRoIHead', 'RotatedShared2FCBBoxHead',
     'ODMRefineHead', 'RotatedRetinaRefineHead', 'S2ANet', 'R3Det',

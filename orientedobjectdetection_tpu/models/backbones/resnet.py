@@ -24,14 +24,20 @@ class FrozenBatchNorm(nn.Module):
     Equivalent to the reference's ``norm_eval=True`` BN: a per-channel affine
     y = (x - mean) / sqrt(var + eps) * gamma + beta where mean/var are
     non-trainable constants loaded from the pretrained checkpoint.
+    ``zero_scale`` (residual-branch-final norms) keeps activation variance
+    bounded at init when training without pretrained stats.
     """
     eps: float = 1e-5
+    zero_scale: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        gamma = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        gamma = self.param(
+            'scale',
+            nn.initializers.zeros if self.zero_scale
+            else nn.initializers.ones, (c,), jnp.float32)
         beta = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
         mean = self.variable('batch_stats', 'mean',
                              lambda: jnp.zeros((c,), jnp.float32))
@@ -63,6 +69,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     norm_cfg: Optional[dict] = None
+    zero_init_residual: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -80,7 +87,8 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
                       dtype=self.dtype, name='conv3')(out)
-        out = make_norm(self.norm_cfg, self.dtype, 'bn3')(out)
+        out = FrozenBatchNorm(zero_scale=self.zero_init_residual,
+                              dtype=self.dtype, name='bn3')(out)
         if self.downsample:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
@@ -147,7 +155,7 @@ class ResNet(nn.Module):
     norm_cfg: Optional[dict] = None
     norm_eval: bool = True
     style: str = 'pytorch'
-    zero_init_residual: bool = True
+    zero_init_residual: bool = False
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
 
@@ -169,10 +177,13 @@ class ResNet(nn.Module):
                 expansion = 4 if block is Bottleneck else 1
                 need_ds = (j == 0) and (stride != 1 or
                                         x.shape[-1] != planes * expansion)
+                kw = {}
+                if block is Bottleneck:
+                    kw['zero_init_residual'] = self.zero_init_residual
                 x = block(planes=planes, stride=stride,
                           dilation=self.dilations[i], downsample=need_ds,
                           norm_cfg=self.norm_cfg, dtype=self.dtype,
-                          name=f'layer{i + 1}_{j}')(x)
+                          name=f'layer{i + 1}_{j}', **kw)(x)
             if i in self.out_indices:
                 outs.append(x)
             planes *= 2

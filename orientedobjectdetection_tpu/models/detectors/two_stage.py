@@ -292,3 +292,10 @@ class RoITransformer(nn.Module):
         return self.make_roi_head().get_bboxes(
             outputs['roi_outputs'], cfg=(self.test_cfg or {}).get('rcnn'),
             img_shape=img_shape)
+
+
+@DETECTORS.register_module()
+class ReDet(RotatedTwoStageDetector):
+    """ReDet (reference ``detectors/redet.py``): ReResNet/ReFPN backbone +
+    oriented RPN + RiRoIAlignRotated roi head."""
+    pass

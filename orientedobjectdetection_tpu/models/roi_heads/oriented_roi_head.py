@@ -68,10 +68,18 @@ class OrientedStandardRoIHead(nn.Module):
     def __call__(self, feats, rois):
         """feats: FPN levels (first 4 used); rois (B, R, 5)."""
         rc = self.roi_cfg
-        pooled = roi_align_rotated(
-            feats[:len(rc['strides'])], rois, rc['out_size'],
-            [1.0 / s for s in rc['strides']], rc['sampling_ratio'],
-            rc['finest_scale'])
+        layer_type = (self.bbox_roi_extractor or {}).get(
+            'roi_layer', {}).get('type', 'RoIAlignRotated')
+        if layer_type == 'RiRoIAlignRotated':
+            from ..backbones.re_resnet import ri_roi_align_rotated
+            pooled = ri_roi_align_rotated(
+                feats[:len(rc['strides'])], rois, rc['out_size'],
+                [1.0 / s for s in rc['strides']], rc['sampling_ratio'])
+        else:
+            pooled = roi_align_rotated(
+                feats[:len(rc['strides'])], rois, rc['out_size'],
+                [1.0 / s for s in rc['strides']], rc['sampling_ratio'],
+                rc['finest_scale'])
         cfg = dict(self.bbox_head or dict(type='RotatedShared2FCBBoxHead'))
         if cfg.get('train_cfg') is None:
             cfg['train_cfg'] = self.train_cfg

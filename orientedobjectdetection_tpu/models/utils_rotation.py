@@ -59,9 +59,11 @@ class ORConv2d(nn.Module):
         assert k == 3, 'active rotating filters defined for 3x3'
         cin = x.shape[-1]
         cin_base = cin // self.in_orientations
+        # weight layout matches the orientation-MINOR feature layout
+        # (channel index = base * num_or + orientation)
         w = self.param(
             'kernel', nn.initializers.he_normal(),
-            (k * k, self.in_orientations, cin_base, self.out_channels),
+            (k * k, cin_base, self.in_orientations, self.out_channels),
             jnp.float32)
         perms = _rotation_perms(self.num_orientations)
 
@@ -71,11 +73,12 @@ class ORConv2d(nn.Module):
             if self.in_orientations > 1:
                 # roll input-orientation channels by o
                 shift = o * (self.in_orientations // self.num_orientations)
-                wo = jnp.roll(wo, shift, axis=1)
+                wo = jnp.roll(wo, shift, axis=2)
             rotated.append(wo)
-        # (k*k, in_or, cin_base, out * num_or), orientation-minor per filter
+        # (k*k, cin_base, in_or, out, num_or) -> flatten both orientation-
+        # minor: input (base, orient), output (out, orient)
         wall = jnp.stack(rotated, axis=-1).reshape(
-            k * k, self.in_orientations * cin_base,
+            k * k, cin_base * self.in_orientations,
             self.out_channels * self.num_orientations)
         wall = wall.reshape(k, k, cin, -1).astype(self.dtype)
 
