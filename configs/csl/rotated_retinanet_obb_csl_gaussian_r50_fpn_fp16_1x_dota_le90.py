@@ -1,0 +1,15 @@
+# CSL RetinaNet (reference same name; 69.51 mAP).
+_base_ = ['../rotated_retinanet/rotated_retinanet_obb_r50_fpn_1x_dota_le90.py']
+angle_version = 'le90'
+model = dict(
+    bbox_head=dict(
+        type='CSLRRetinaHead',
+        angle_coder=dict(
+            type='CSLCoder',
+            angle_version=angle_version,
+            omega=1,
+            window='gaussian',
+            radius=6),
+        loss_angle=dict(type='SmoothFocalLoss', gamma=2.0, alpha=0.25,
+                        loss_weight=0.8),
+        bbox_coder=dict(angle_range=angle_version)))

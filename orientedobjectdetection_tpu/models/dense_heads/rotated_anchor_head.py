@@ -346,3 +346,105 @@ class RotatedATSSHead(RotatedRetinaHead):
         from ...core.assigners import ATSSObbAssigner
         return ATSSObbAssigner(**{k: v for k, v in cfg.items()
                                   if k != 'type'})
+
+@HEADS.register_module()
+class CSLRRetinaHead(RotatedRetinaHead):
+    """Retina head with a CSL angle-classification branch (reference
+    ``csl_rotated_retina_head.py:15``): regression predicts (dx,dy,dw,dh)
+    against the anchor with theta from the CSL argmax; a separate conv
+    predicts the omega-binned angle distribution trained with
+    SmoothFocalLoss."""
+    angle_coder: Optional[dict] = None
+    loss_angle: Optional[dict] = None
+    shield_reg_angle: bool = False
+
+    @property
+    def angle_coder_obj(self):
+        return _build(BBOX_CODERS, dict(
+            self.angle_coder or dict(type='CSLCoder', angle_version='le90',
+                                     omega=1, window='gaussian', radius=6)))
+
+    @nn.compact
+    def __call__(self, feats):
+        num_anchors = self.prior_generator.num_base_anchors[0]
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1)] * 2, dtype=self.dtype,
+                             name=f'cls_conv_{i}')
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1)] * 2, dtype=self.dtype,
+                             name=f'reg_conv_{i}')
+                     for i in range(self.stacked_convs)]
+        import math
+        bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
+        cls_out = nn.Conv(num_anchors * self.cls_out_channels, (3, 3),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          bias_init=bias_init, name='cls_out')
+        reg_out = nn.Conv(num_anchors * 5, (3, 3), padding=[(1, 1)] * 2,
+                          dtype=self.dtype, name='reg_out')
+        coding_len = self.angle_coder_obj.coding_len
+        angle_out = nn.Conv(num_anchors * coding_len, (3, 3),
+                            padding=[(1, 1)] * 2, dtype=self.dtype,
+                            bias_init=bias_init, name='angle_out')
+
+        cls_scores, bbox_preds, angle_clses = [], [], []
+        for x in feats:
+            c = x
+            for conv in cls_convs:
+                c = nn.relu(conv(c))
+            r = x
+            for conv in reg_convs:
+                r = nn.relu(conv(r))
+            cls_scores.append(cls_out(c))
+            bbox_preds.append(reg_out(r))
+            angle_clses.append(angle_out(r))
+        return tuple(cls_scores), tuple(bbox_preds), tuple(angle_clses)
+
+    def loss(self, outputs, gt_bboxes, gt_labels, gt_mask):
+        cls_scores, bbox_preds, angle_clses = outputs
+        losses = super().loss((cls_scores, bbox_preds), gt_bboxes,
+                              gt_labels, gt_mask)
+        # CSL angle branch: smooth labels from matched gt angles
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        anchors = self.flat_anchors(featmap_sizes)
+        acoder = self.angle_coder_obj
+        b = cls_scores[0].shape[0]
+        ang_flat = jnp.concatenate(
+            [a.reshape(b, -1, acoder.coding_len) for a in angle_clses], 1)
+
+        def single(gb, gl, gm):
+            assign = self.assigner(anchors, gb, gl, gm)
+            pos = assign.assigned_gt_inds >= 0
+            safe = jnp.clip(assign.assigned_gt_inds, 0, None)
+            ang_t = acoder.encode(gb[safe][:, 4:5])
+            return jnp.where(pos[:, None], ang_t, 0.0), \
+                pos.astype(jnp.float32)
+
+        ang_t, pw = jax.vmap(single)(gt_bboxes, gt_labels, gt_mask)
+        num_pos = jnp.maximum(pw.sum(), 1.0)
+        loss_angle = _build(LOSSES, dict(
+            self.loss_angle or dict(type='SmoothFocalLoss', gamma=2.0,
+                                    alpha=0.25, loss_weight=0.8)))(
+            ang_flat, ang_t, weight=pw, avg_factor=num_pos)
+        losses['loss_angle'] = loss_angle
+        return losses
+
+    def get_bboxes(self, outputs, img_shape=None, scale_factor=None,
+                   rescale: bool = False, cfg=None):
+        cls_scores, bbox_preds, angle_clses = outputs
+        acoder = self.angle_coder_obj
+        # decode CSL angles and substitute into the 5th regression channel
+        new_preds = []
+        for bp, ac in zip(bbox_preds, angle_clses):
+            b, h, w, _ = bp.shape
+            bp5 = bp.reshape(b, h, w, -1, 5)
+            acd = ac.reshape(b, h, w, bp5.shape[3], acoder.coding_len)
+            theta = acoder.decode(acd)
+            # angle channel carries the absolute decoded angle; anchors have
+            # theta=0 so delta == absolute (reference CSL head decode)
+            bp5 = bp5.at[..., 4].set(theta)
+            new_preds.append(bp5.reshape(b, h, w, -1))
+        return super().get_bboxes((cls_scores, tuple(new_preds)),
+                                  img_shape=img_shape,
+                                  scale_factor=scale_factor,
+                                  rescale=rescale, cfg=cfg)

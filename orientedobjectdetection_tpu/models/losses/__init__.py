@@ -11,3 +11,8 @@ __all__ = [
     'CrossEntropyLoss', 'IoULoss', 'GDLoss', 'GDLoss_v1', 'KFLoss', 'RotatedIoULoss',
     'xy_wh_r_2_xy_sigma',
 ]
+from .common import ObjectnessLoss2, ObjectnessLoss3, VarifocalLoss
+from .spatial_border_loss import SpatialBorderLoss
+from .kld_reppoints_loss import KLDRepPointsLoss
+__all__ += ['VarifocalLoss', 'ObjectnessLoss2', 'ObjectnessLoss3',
+            'SpatialBorderLoss', 'KLDRepPointsLoss']

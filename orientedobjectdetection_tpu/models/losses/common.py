@@ -219,3 +219,72 @@ class IoULoss:
             loss = -jnp.log(ious)
         return self.loss_weight * reduce_loss(loss, weight, self.reduction,
                                               avg_factor)
+
+
+@LOSSES.register_module()
+class VarifocalLoss:
+    """Varifocal loss (IoU-aware classification; used by jy's 9-2 variant,
+    reference rotated_yolov8_head.py:336-350). ``target`` is the soft
+    IoU-quality one-hot (zeros for background)."""
+
+    def __init__(self, use_sigmoid: bool = True, alpha: float = 0.75,
+                 gamma: float = 2.0, iou_weighted: bool = True,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        self.alpha = alpha
+        self.gamma = gamma
+        self.iou_weighted = iou_weighted
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        p = jax.nn.sigmoid(pred)
+        ce = optax_sigmoid_ce(pred, target)
+        if self.iou_weighted:
+            focal = target * (target > 0) + \
+                self.alpha * (p ** self.gamma) * (target <= 0)
+        else:
+            focal = (target > 0).astype(pred.dtype) + \
+                self.alpha * (p ** self.gamma) * (target <= 0)
+        loss = (ce * focal).sum(-1)
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)
+
+
+@LOSSES.register_module()
+class ObjectnessLoss2:
+    """jy coupled objectness+cls loss (reference ``losses/jy_loss.py:117-``):
+    BCE objectness plus focal cls on objectness-gated logits; ``ver=1``
+    detaches the objectness gate."""
+
+    def __init__(self, ver: int = 0, gamma: float = 2.0, alpha: float = 0.25,
+                 reduction: str = 'mean', loss_weight: float = 1.0):
+        self.ver = ver
+        self.gamma = gamma
+        self.alpha = alpha
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, obj_pred, cls_pred, labels, num_classes: int,
+                 weight=None, avg_factor=None):
+        """obj_pred (..., 1); cls_pred (..., C); labels int
+        (num_classes = bg)."""
+        fg = (labels < num_classes).astype(obj_pred.dtype)
+        loss_obj = optax_sigmoid_ce(obj_pred[..., 0], fg)
+        gate = obj_pred if self.ver == 0 else jax.lax.stop_gradient(obj_pred)
+        gated = cls_pred + jax.nn.log_sigmoid(gate)
+        onehot = jax.nn.one_hot(labels, num_classes, dtype=cls_pred.dtype)
+        loss_cls = sigmoid_focal_loss(gated, onehot, self.gamma,
+                                      self.alpha).sum(-1)
+        loss = loss_obj + loss_cls
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)
+
+
+@LOSSES.register_module()
+class ObjectnessLoss3(ObjectnessLoss2):
+    """Decoupled variant (reference jy_loss.py ObjectnessLoss3): objectness
+    and cls losses reported jointly but the gate is always detached."""
+
+    def __init__(self, **kw):
+        kw.setdefault('ver', 1)
+        super().__init__(**kw)

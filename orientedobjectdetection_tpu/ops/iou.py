@@ -126,8 +126,11 @@ def box_iou_rotated(boxes1, boxes2, mode: str = 'iou',
         b1, b2 = jnp.broadcast_arrays(b1, b2)
     inter = _intersect_area(b1, b2)
     area1 = box_area(b1)
+    area2 = box_area(b2)
+    # physical bound (degenerate/parallel-edge numerical safety)
+    inter = jnp.minimum(inter, jnp.minimum(area1, area2))
     if mode == 'iou':
-        denom = area1 + box_area(b2) - inter
+        denom = area1 + area2 - inter
     else:
         denom = area1
     return inter / jnp.maximum(denom, eps)

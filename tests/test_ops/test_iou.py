@@ -98,3 +98,19 @@ def test_empty_inputs():
     assert out.shape == (0, 3)
     out = rbbox_overlaps(jnp.zeros((3, 5)), jnp.zeros((0, 5)))
     assert out.shape == (3, 0)
+
+
+def test_pallas_kernel_matches_jnp():
+    """The Pallas tile kernel (interpreter mode — exercises the kernel math
+    on any backend) must agree with the jnp reference path on distinct box
+    pairs. Coincident-geometry pairs (self-IoU diagonals) are excluded: the
+    kernel evaluates in a global frame where the coincident-edge tie-break
+    is fp32-sensitive (self-pairs are never consumed by NMS/assignment; the
+    production path is ops.iou)."""
+    from orientedobjectdetection_tpu.ops.iou_pallas import \
+        box_iou_rotated_pallas_interpret
+    b1 = jnp.asarray(random_boxes(150, 7))
+    b2 = jnp.asarray(random_boxes(150, 8))
+    ref = np.asarray(box_iou_rotated(b1, b2))
+    pal = np.asarray(box_iou_rotated_pallas_interpret(b1, b2))
+    np.testing.assert_allclose(pal, ref, atol=2e-3)
