@@ -1,7 +1,12 @@
 from ..utils.registry import (BACKBONES, DETECTORS, HEADS, LOSSES, MODELS,
                               NECKS)
 from . import losses  # noqa: F401  (registers losses)
-from .backbones.cspnext import CSPNeXt
+from .backbones.csp_darknet import YOLOv8CSPDarknet
+from .backbones.cspnext import CSPNeXt, CSPNeXtLarge
+from .backbones.jy_modules import (AdaptiveRotatedConv2d,
+                                   DAttentionBaseline, MSARCModule,
+                                   RotationallyDeformableConvolution,
+                                   RountingFunction)
 from .backbones.re_resnet import ReFPN, ReResNet, ri_roi_align_rotated
 from .backbones.resnet import ResNet
 from .dense_heads.rotated_anchor_head import (CSLRRetinaHead,
@@ -23,6 +28,9 @@ from .roi_heads.gv_trans_heads import (GVBBoxHead, GVRatioRoIHead,
 from .dense_heads.refine_heads import (ODMRefineHead,
                                        RotatedRetinaRefineHead)
 from .detectors.refine_detectors import R3Det, S2ANet
+from .dense_heads.jy_heads import (RotatedDecoupledBGHead,
+                                   RotatedDecoupledObjHead,
+                                   RotatedMSDCNHead)
 from .dense_heads.rotated_reppoints_head import (ConvexAssigner,
                                                  ConvexGIoULoss,
                                                  MaxConvexIoUAssigner,
@@ -52,7 +60,9 @@ def build_detector(cfg, train_cfg=None, test_cfg=None, dtype=None):
 
 
 __all__ = [
-    'ResNet', 'CSPNeXt', 'FPN', 'YOLOv8PAFPN', 'RotatedYOLOv8',
+    'ResNet', 'CSPNeXt', 'CSPNeXtLarge', 'YOLOv8CSPDarknet', 'FPN',
+    'RotatedMSDCNHead', 'RotatedDecoupledObjHead', 'RotatedDecoupledBGHead',
+    'AdaptiveRotatedConv2d', 'MSARCModule', 'DAttentionBaseline', 'YOLOv8PAFPN', 'RotatedYOLOv8',
     'RotatedYOLOv8Head', 'OBBLabelAssigner', 'RotatedRepPointsHead',
     'OrientedRepPointsHead', 'SAMRepPointsHead', 'RotatedRepPoints',
     'ConvexAssigner', 'MaxConvexIoUAssigner', 'ConvexGIoULoss', 'RotatedRetinaHead', 'KFIoURRetinaHead', 'RotatedATSSHead',

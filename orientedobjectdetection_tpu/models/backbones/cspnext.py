@@ -77,6 +77,21 @@ class CSPNeXt(nn.Module):
                          use_cspnext_block=self.cspnext_block,
                          channel_attention=self.channel_attention,
                          dtype=self.dtype, name=f'stage{i + 1}_csp')(x)
+            if self.stage_aux is not None:
+                num = len(arch)
+                use_aux = i < self.stage_aux if self.reverse \
+                    else i >= num - self.stage_aux
+                if use_aux:
+                    from .jy_modules import MSARCModule
+                    x = MSARCModule(cout, dtype=self.dtype,
+                                    name=f'stage{i + 1}_aux')(x)
             if (i + 1) in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+@BACKBONES.register_module()
+class CSPNeXtLarge(CSPNeXt):
+    """prototype3's backbone alias (reference configs/jy/prototype3.py:
+    CSPNeXt with stage_aux MSARC attention stages)."""
+    pass
