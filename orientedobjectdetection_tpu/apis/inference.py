@@ -160,3 +160,48 @@ def inference_detector_by_patches(bundle: DetectorBundle, img,
         iou_thr=merge_iou_thr)
     return [merged_dets[merged_labels == c]
             for c in range(bundle.num_classes)]
+
+
+def inference_detector_tta(bundle: DetectorBundle, img,
+                           directions=('horizontal', 'vertical'),
+                           img_norm_cfg=None,
+                           version: str = 'le90') -> List[np.ndarray]:
+    """Flip test-time augmentation (reference ``rotated_anchor_head.py
+    :692-787`` aug_test + ``bbox_nms_rotated.py:95-144``): run the original
+    and flipped images, map detections back with ``rbbox_flip``, merge with
+    per-class rotated NMS."""
+    import cv2
+    from ..ops.boxes import rbbox_flip
+    from ..ops.nms import nms_rotated
+
+    if isinstance(img, str):
+        img = cv2.imread(img, cv2.IMREAD_COLOR)
+    pad = bundle.cfg.get('pad_size') or (1024, 1024)
+    variants = [(img, None)]
+    for d in directions:
+        flipped = img[:, ::-1] if d == 'horizontal' else img[::-1]
+        variants.append((np.ascontiguousarray(flipped), d))
+
+    all_dets = {c: [] for c in range(bundle.num_classes)}
+    for im, d in variants:
+        res = inference_detector(bundle, im, img_norm_cfg)
+        for c, dets in enumerate(res):
+            dets = np.asarray(dets, np.float32).reshape(-1, 6)
+            if d is not None and len(dets):
+                import jax.numpy as jnp
+                mapped = np.asarray(rbbox_flip(
+                    jnp.asarray(dets[:, :5]), (pad[0], pad[1]), d, version))
+                dets = np.concatenate([mapped, dets[:, 5:6]], -1)
+            all_dets[c].append(dets)
+
+    out = []
+    import jax.numpy as jnp
+    for c in range(bundle.num_classes):
+        merged = np.concatenate(all_dets[c]) if all_dets[c] else \
+            np.zeros((0, 6), np.float32)
+        if len(merged):
+            keep, _ = nms_rotated(jnp.asarray(merged[:, :5]),
+                                  jnp.asarray(merged[:, 5]), 0.1)
+            merged = merged[np.asarray(keep)]
+        out.append(merged)
+    return out

@@ -30,9 +30,22 @@ from ..utils.checkpoint import (find_latest_checkpoint, load_checkpoint,
                                 save_checkpoint)
 
 
+def maybe_init_distributed():
+    """Multi-host init (replaces init_dist/NCCL, reference
+    ``tools/train.py:70-74``): explicit env vars, or automatic on Cloud TPU
+    pods."""
+    import os as _os
+    if _os.environ.get('JAX_COORDINATOR'):
+        jax.distributed.initialize(
+            coordinator_address=_os.environ['JAX_COORDINATOR'],
+            num_processes=int(_os.environ['JAX_NUM_PROCESSES']),
+            process_id=int(_os.environ['JAX_PROCESS_ID']))
+
+
 def train_detector(cfg, work_dir: str, resume: bool = False,
                    max_steps: Optional[int] = None, log_interval: int = 50,
                    dtype=jnp.float32, seed: int = 0):
+    maybe_init_distributed()
     os.makedirs(work_dir, exist_ok=True)
     log_path = osp.join(work_dir, 'train_log.jsonl')
 
