@@ -3,6 +3,7 @@ from . import pipelines  # noqa: F401  (registers transforms)
 from .dota import DOTADataset, DOTAv2Dataset, DOTAv15Dataset, SARDataset
 from .hrsc import HRSCDataset
 from .loader import DataLoader, pad_collate
+from . import wrappers  # noqa: F401  (registers wrappers)
 
 
 def build_dataset(cfg):

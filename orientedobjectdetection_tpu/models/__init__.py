@@ -9,6 +9,9 @@ from .backbones.jy_modules import (AdaptiveRotatedConv2d,
                                    RountingFunction)
 from .backbones.re_resnet import ReFPN, ReResNet, ri_roi_align_rotated
 from .backbones.resnet import ResNet
+from .backbones.convnext import ConvNeXt
+from .backbones.swin import Swin, SwinTransformer
+from . import yolo_blocks  # noqa: F401
 from .dense_heads.rotated_anchor_head import (CSLRRetinaHead,
                                               KFIoURRetinaHead,
                                               RotatedATSSHead,

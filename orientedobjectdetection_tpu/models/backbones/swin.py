@@ -1,0 +1,190 @@
+"""Swin Transformer backbone, flax/NHWC.
+
+The reference pulls Swin from mmdet via the registry alias
+(``models/builder.py:4-12``; e.g. ReDet/RoI-Trans Swin configs).  TPU notes:
+window partition is a pure reshape/transpose (free under XLA); the per-window
+MHA is one batched einsum chain on the MXU; the shifted windows use
+``jnp.roll`` + a precomputed additive mask instead of gather, keeping shapes
+static.  Relative position bias is a table lookup done once per call.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.registry import BACKBONES
+
+ARCHS = {
+    'tiny': dict(embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    'small': dict(embed_dims=96, depths=(2, 2, 18, 2),
+                  num_heads=(3, 6, 12, 24)),
+    'base': dict(embed_dims=128, depths=(2, 2, 18, 2),
+                 num_heads=(4, 8, 16, 32)),
+}
+
+
+def _window_partition(x, ws):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _window_reverse(wins, ws, h, w):
+    b = wins.shape[0] // ((h // ws) * (w // ws))
+    x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+def _rel_pos_index(ws):
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing='ij')).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]          # (2, N, N)
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return rel[..., 0] * (2 * ws - 1) + rel[..., 1]        # (N, N)
+
+
+def _shift_mask(h, w, ws, shift):
+    """Additive attention mask for shifted windows (−inf across region
+    boundaries), computed in numpy at trace time — static shapes."""
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    wins = _window_partition(img[None, ..., None].astype(np.float32),
+                             ws)[..., 0]                   # (nW, N)
+    mask = (wins[:, :, None] != wins[:, None, :]) * -1e9
+    return jnp.asarray(mask.astype(np.float32))            # (nW, N, N)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        bw, n, c = x.shape
+        ws = self.window_size
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name='qkv')(x)
+        q, k, v = jnp.split(qkv.reshape(bw, n, 3, self.num_heads, -1), 3, 2)
+        q = q[:, :, 0].transpose(0, 2, 1, 3)
+        k = k[:, :, 0].transpose(0, 2, 1, 3)
+        v = v[:, :, 0].transpose(0, 2, 1, 3)
+        attn = jnp.einsum('bhqd,bhkd->bhqk', q, k) / math.sqrt(q.shape[-1])
+        table = self.param('rel_pos_bias', nn.initializers.normal(0.02),
+                           ((2 * ws - 1) ** 2, self.num_heads), jnp.float32)
+        idx = jnp.asarray(_rel_pos_index(ws))
+        bias = table[idx].transpose(2, 0, 1)               # (H, N, N)
+        attn = attn + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + \
+                mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bw, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, -1)
+        out = jnp.einsum('bhqk,bhkd->bhqd', attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bw, n, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name='proj')(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift: int = 0
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        shift = self.shift if 0 < self.shift < ws else 0
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype, name='norm1')(x)
+        # pad spatial dims to window multiples (standard Swin padding)
+        ph = (ws - h % ws) % ws
+        pw = (ws - w % ws) % ws
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        hp, wp = h + ph, w + pw
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = _shift_mask(hp, wp, ws, shift)
+        else:
+            mask = None
+        wins = _window_partition(x, ws)
+        wins = WindowAttention(self.dim, self.num_heads, ws,
+                               dtype=self.dtype, name='attn')(wins, mask)
+        x = _window_reverse(wins, ws, hp, wp)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        if ph or pw:
+            x = x[:, :h, :w]
+        x = shortcut + x
+        y = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name='fc1')(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name='fc2')(y)
+        return x + y
+
+
+@BACKBONES.register_module()
+class SwinTransformer(nn.Module):
+    arch: str = 'tiny'
+    window_size: int = 7
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    drop_path_rate: float = 0.0
+    convert_weights: bool = False
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        spec = ARCHS[self.arch]
+        dims = [spec['embed_dims'] * 2 ** i for i in range(4)]
+        x = nn.Conv(dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name='patch_embed')(x)
+        x = nn.LayerNorm(dtype=self.dtype, name='patch_norm')(x)
+        outs = []
+        for i, (depth, heads) in enumerate(zip(spec['depths'],
+                                               spec['num_heads'])):
+            if i > 0:
+                # patch merging: 2x2 space-to-depth + linear reduction
+                b, h, w, c = x.shape
+                if h % 2 or w % 2:
+                    x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+                    b, h, w, c = x.shape
+                x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, h // 2, w // 2, 4 * c)
+                x = nn.LayerNorm(dtype=self.dtype, name=f'merge_norm_{i}')(x)
+                x = nn.Dense(dims[i], use_bias=False, dtype=self.dtype,
+                             name=f'merge_reduce_{i}')(x)
+            for j in range(depth):
+                x = SwinBlock(dims[i], heads, self.window_size,
+                              shift=0 if j % 2 == 0 else
+                              self.window_size // 2,
+                              dtype=self.dtype, name=f'stage{i}_block{j}')(x)
+            if i in self.out_indices:
+                outs.append(nn.LayerNorm(dtype=self.dtype,
+                                         name=f'out_norm_{i}')(x))
+        return tuple(outs)
+
+
+@BACKBONES.register_module()
+class Swin(SwinTransformer):
+    """mmdet registry alias."""
+    pass

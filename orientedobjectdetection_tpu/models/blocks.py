@@ -52,6 +52,8 @@ class ConvModule(nn.Module):
 
 
 def _act(x, kind: str):
+    if kind is None:
+        return x
     if kind == 'silu':
         return nn.silu(x)
     if kind == 'relu':

@@ -175,3 +175,11 @@ class RotatedDecoupledBGHead(RotatedDecoupledObjHead):
     """Coupled background-slot variant (reference
     ``rotated_objectness_head.py:23``); same network, ObjectnessLoss2."""
     pass
+
+
+@HEADS.register_module()
+class RotatedDecoupled1x1ObjHead(RotatedDecoupledObjHead):
+    """1x1-tower decoupled-objectness variant (reference
+    ``rotated_objectness_head.py:385``); tower depth differences only —
+    same loss wiring."""
+    pass

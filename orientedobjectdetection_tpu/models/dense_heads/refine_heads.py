@@ -21,7 +21,7 @@ from flax import linen as nn
 from ...ops.nms import multiclass_nms_rotated
 from ...utils.registry import HEADS
 from ..utils_rotation import ORConv2d, rotation_invariant_pooling
-from .rotated_anchor_head import AnchorHeadLogic, RotatedRetinaHead, _build
+from .rotated_anchor_head import KFIoURRetinaHead, AnchorHeadLogic, RotatedRetinaHead, _build
 
 
 class RefineHeadLogic(AnchorHeadLogic):
@@ -37,10 +37,17 @@ class RefineHeadLogic(AnchorHeadLogic):
         num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
         loss_cls = self.cls_loss(cls_flat, labels, weight=lw,
                                  avg_factor=num_pos)
-        loss_bbox = self.bbox_loss(box_flat, bt, weight=bw,
-                                   avg_factor=num_pos)
+        loss_bbox = self._refine_reg_loss(anchors, box_flat, bt, bw,
+                                          num_pos)
         return {f'{prefix}loss_cls': loss_cls,
                 f'{prefix}loss_bbox': loss_bbox}
+
+    def _refine_reg_loss(self, anchors, box_flat, bbox_targets,
+                         bbox_weights, num_pos):
+        """Refine-stage reg loss hook; KFIoU variants override to feed
+        decoded boxes into KFLoss."""
+        return self.bbox_loss(box_flat, bbox_targets, weight=bbox_weights,
+                              avg_factor=num_pos)
 
     def refine_bboxes(self, outputs, anchors):
         """Per-location decode of this stage's reg output against its
@@ -146,3 +153,43 @@ class ODMRefineHead(nn.Module, RefineHeadLogic):
             cls_scores.append(odm_cls(cls_feat))
             bbox_preds.append(odm_reg(reg_feat))
         return tuple(cls_scores), tuple(bbox_preds)
+
+
+def _kfiou_refine_reg_loss(head, anchors, box_flat, bbox_targets,
+                           bbox_weights, num_pos):
+    """KFLoss on per-image refined anchors (B, N, 5): decode both pred and
+    target deltas to boxes (reference ``kfiou_*_refine_head.py`` loss_single
+    passes pred_decode/targets_decode into KFLoss)."""
+    from .rotated_anchor_head import _build
+    from ...utils.registry import LOSSES
+    pred_decode = head.coder.decode(anchors, box_flat)
+    targets_decode = head.coder.decode(anchors, bbox_targets)
+    cfg = head.loss_bbox if (head.loss_bbox or {}).get('type') == 'KFLoss' \
+        else dict(type='KFLoss', loss_weight=5.0)
+    loss = _build(LOSSES, cfg)
+    return loss(box_flat, bbox_targets, weight=bbox_weights,
+                avg_factor=num_pos, pred_decode=pred_decode,
+                targets_decode=targets_decode)
+
+
+@HEADS.register_module()
+class KFIoURRetinaRefineHead(KFIoURRetinaHead, RefineHeadLogic):
+    """R3Det refine stage with KFIoU loss (reference
+    ``kfiou_rotate_retina_refine_head.py``)."""
+
+    def _refine_reg_loss(self, anchors, box_flat, bbox_targets,
+                         bbox_weights, num_pos):
+        return _kfiou_refine_reg_loss(self, anchors, box_flat, bbox_targets,
+                                      bbox_weights, num_pos)
+
+
+@HEADS.register_module()
+class KFIoUODMRefineHead(ODMRefineHead):
+    """S2ANet ODM head with KFIoU loss (reference
+    ``kfiou_odm_refine_head.py``): swaps the refine-stage reg loss for
+    KFLoss on decoded boxes."""
+
+    def _refine_reg_loss(self, anchors, box_flat, bbox_targets,
+                         bbox_weights, num_pos):
+        return _kfiou_refine_reg_loss(self, anchors, box_flat, bbox_targets,
+                                      bbox_weights, num_pos)

@@ -332,3 +332,25 @@ class OrientedRepPointsHead(RotatedRepPointsHead):
 class SAMRepPointsHead(RotatedRepPointsHead):
     """Alias for the SASM variant (reference ``sam_reppoints_head.py``)."""
     pass
+
+
+@LOSSES.register_module()
+class BCConvexGIoULoss(ConvexGIoULoss):
+    """Border-constrained convex-GIoU (reference
+    ``losses/convex_giou_loss.py`` BCConvexGIoULoss): adds an L1 pull of
+    out-of-hull points toward the target polygon's bounds on top of the
+    GIoU term."""
+
+    def __call__(self, pred_pointsets, target_polys, weight=None,
+                 avg_factor=None):
+        from ..losses.common import reduce_loss
+        giou = convex_giou(pred_pointsets, target_polys)
+        pts = pred_pointsets.reshape(*pred_pointsets.shape[:-1], -1, 2)
+        poly = target_polys.reshape(*target_polys.shape[:-1], -1, 2)
+        lo = poly.min(-2, keepdims=True)
+        hi = poly.max(-2, keepdims=True)
+        border = (jnp.clip(lo - pts, 0) + jnp.clip(pts - hi, 0)).sum((-1, -2))
+        scale = jnp.maximum((hi - lo).max((-1, -2)), 1.0)
+        loss = (1 - giou) + 0.1 * border / scale
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)

@@ -307,3 +307,29 @@ class RotatedYOLOv8Head(nn.Module):
                 max_per_img=int(cfg.get('max_per_img', 2000)))
 
         return jax.vmap(per_image)(cls_flat, box_flat, ang_flat)
+
+
+@HEADS.register_module()
+class RotatedYOLOv8AngleHead(RotatedYOLOv8Head):
+    """YOLOv8 head with a dedicated angle regression loss on top of the
+    rotated-IoU box loss (reference ``rotated_yolov8_head.py:501-651``
+    RotatedYOLOv8AngleHead: loss_angle on positive points)."""
+    loss_angle: Optional[dict] = None
+
+    def loss(self, outputs, gt_bboxes, gt_labels, gt_mask):
+        losses = super().loss(outputs, gt_bboxes, gt_labels, gt_mask)
+        cls_scores, bbox_preds, angle_preds = outputs
+        featmap_sizes = [s.shape[1:3] for s in cls_scores]
+        points, strides, ranges = self._points(featmap_sizes)
+        cls_flat, box_flat, ang_flat = self._flat(outputs)
+        labels, bt, at, pos = jax.vmap(
+            lambda gb, gl, gm, bp, ap, cs: self.assigner.assign_single(
+                points, strides, ranges, gb, gl, gm, bp, ap, cs)
+        )(gt_bboxes, gt_labels, gt_mask, box_flat, ang_flat, cls_flat)
+        pw = pos.astype(jnp.float32)
+        losses['loss_angle'] = _build(LOSSES, dict(
+            self.loss_angle or dict(type='SmoothL1Loss', beta=0.1,
+                                    loss_weight=0.2)))(
+            ang_flat[..., 0], at, weight=pw,
+            avg_factor=jnp.maximum(pw.sum(), 1.0))
+        return losses

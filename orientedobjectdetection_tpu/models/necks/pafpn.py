@@ -71,3 +71,73 @@ class YOLOv8PAFPN(nn.Module):
                 name=f'bottom_up_{idx}')(cat)
             outs.append(bu)
         return tuple(outs)
+
+
+@NECKS.register_module()
+class YOLOv8PAFPN_E(YOLOv8PAFPN):
+    """PAFPN with an extra stride-2 output level appended (reference
+    ``necks/pafpn.py`` ``YOLOv8PAFPN_E`` variant)."""
+    num_extra_levels: int = 1
+
+    @nn.compact
+    def __call__(self, feats):
+        outs = list(YOLOv8PAFPN.__call__(self, feats))
+        for i in range(self.num_extra_levels):
+            outs.append(ConvModule(outs[-1].shape[-1], 3, stride=2,
+                                   dtype=self.dtype, name=f'extra_{i}')(
+                                       outs[-1]))
+        return tuple(outs)
+
+
+@NECKS.register_module()
+class YOLOv6RepPAFPN(nn.Module):
+    """YOLOv6 Rep-PAFPN (reference ``necks/pafpn.py:28-`` YOLOv6RepPAFPN):
+    1x1 reduce + upsample + concat + RepStage top-down; stride-2 conv +
+    concat + RepStage bottom-up."""
+    in_channels: Sequence[int] = (256, 512, 1024)
+    out_channels: Union[Sequence[int], int] = (128, 256, 512)
+    deepen_factor: float = 1.0
+    widen_factor: float = 1.0
+    num_csp_blocks: int = 12
+    freeze_all: bool = False
+    norm_cfg: Optional[dict] = None
+    act_cfg: Optional[dict] = None
+    init_cfg: Optional[dict] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ..yolo_blocks import RepStageBlock
+        wf, df = self.widen_factor, self.deepen_factor
+        out_ch = self.out_channels
+        if isinstance(out_ch, int):
+            out_ch = [out_ch] * len(self.in_channels)
+        n_blocks = make_round(self.num_csp_blocks, df)
+        L = len(feats)
+
+        inner = [feats[-1]]
+        reduces = []
+        for idx in range(L - 1, 0, -1):
+            red = ConvModule(make_divisible(out_ch[idx - 1], wf), 1,
+                             dtype=self.dtype,
+                             name=f'reduce_{idx - 1}')(inner[0])
+            reduces.insert(0, red)
+            up = upsample2x(red)
+            cat = jnp.concatenate([up, feats[idx - 1]], axis=-1)
+            td = RepStageBlock(make_divisible(out_ch[idx - 1], wf),
+                               num_blocks=n_blocks, dtype=self.dtype,
+                               name=f'top_down_{idx - 1}')(cat)
+            inner.insert(0, td)
+
+        outs = [inner[0]]
+        for idx in range(L - 1):
+            down = ConvModule(outs[-1].shape[-1], 3, stride=2,
+                              dtype=self.dtype,
+                              name=f'downsample_{idx}')(outs[-1])
+            ref = reduces[idx] if idx < len(reduces) else inner[idx + 1]
+            cat = jnp.concatenate([down, ref], axis=-1)
+            bu = RepStageBlock(make_divisible(out_ch[idx + 1], wf),
+                               num_blocks=n_blocks, dtype=self.dtype,
+                               name=f'bottom_up_{idx}')(cat)
+            outs.append(bu)
+        return tuple(outs)

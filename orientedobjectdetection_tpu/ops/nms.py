@@ -225,3 +225,34 @@ def batched_nms_hbb(boxes, scores, labels, iou_thr: float, valid_mask=None):
     offsets = labels.astype(boxes.dtype) * (max_coordinate + 1)
     shifted = safe_boxes + offsets[:, None]
     return nms_hbb(shifted, scores, iou_thr, valid_mask=valid_mask)
+
+
+def aug_multiclass_nms_rotated(merged_bboxes, merged_labels, num_classes,
+                               iou_thr: float = 0.1,
+                               max_per_img: int = 2000):
+    """Merge TTA detections with per-class rotated NMS (reference
+    ``core/post_processing/bbox_nms_rotated.py:95-144``).
+
+    merged_bboxes: (N, 6) [cx,cy,w,h,a,score] already mapped back to the
+    original frame; merged_labels: (N,).  Returns (dets (M,6), labels (M,))
+    numpy arrays, score-sorted.
+    """
+    import numpy as np
+    merged_bboxes = np.asarray(merged_bboxes, np.float32).reshape(-1, 6)
+    merged_labels = np.asarray(merged_labels)
+    out_d, out_l = [], []
+    for c in range(num_classes):
+        sel = merged_bboxes[merged_labels == c]
+        if not len(sel):
+            continue
+        keep, order = nms_rotated(jnp.asarray(sel[:, :5]),
+                                  jnp.asarray(sel[:, 5]), iou_thr)
+        kept = np.asarray(order)[np.asarray(keep)[np.asarray(order)]]
+        out_d.append(sel[kept])
+        out_l.append(np.full(len(kept), c, np.int64))
+    if not out_d:
+        return (np.zeros((0, 6), np.float32), np.zeros((0,), np.int64))
+    dets = np.concatenate(out_d)
+    labels = np.concatenate(out_l)
+    rank = np.argsort(-dets[:, 5])[:max_per_img]
+    return dets[rank], labels[rank]
