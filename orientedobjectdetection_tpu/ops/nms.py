@@ -58,6 +58,38 @@ def _blocked_pair_mask(boxes, iou_fn, iou_thr, block: int = 256):
     return mask.reshape(nb * block, n)[:n]
 
 
+def _upper_pair_mask(boxes, iou_fn, iou_thr, block=None):
+    """Boolean (N, N) matrix: pair IoU > thr for i < j ONLY (strict upper
+    triangle; lower triangle and diagonal are False).
+
+    Greedy suppression only consumes i-suppresses-j>i pairs, so block rows
+    skip every all-lower-triangle column block: row block r computes IoU
+    against columns [r*block, N) instead of [0, N). For N = 8 blocks this
+    drops the pairwise rotated-IoU work ~45% (the dominant NMS cost on TPU).
+    Each row block is a separate statically-shaped fused kernel (unrolled
+    python loop — nb kernels, bounded by nb <= N/block).
+    """
+    n = boxes.shape[0]
+    if block is None:
+        # measured on v5e (N=2000, R50 e2e bench): 16 -> 127 imgs/s,
+        # 64 -> 86, 256 -> 64. Small row blocks keep the rotated-IoU
+        # intermediates resident in VMEM; compile scales with n/block, so
+        # small-N call sites (tests, RPN per-level) use coarser blocks.
+        block = 16 if n >= 1024 else 64
+    nb = -(-n // block)
+    pad = nb * block - n
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+    rows = []
+    for r in range(nb):
+        row_boxes = boxes_p[r * block:(r + 1) * block]
+        col_boxes = boxes_p[r * block:]
+        m = iou_fn(row_boxes, col_boxes) > iou_thr
+        rows.append(jnp.pad(m, ((0, 0), (r * block, 0))))
+    mask = jnp.concatenate(rows, 0)[:n, :n]
+    idx = jnp.arange(n)
+    return mask & (idx[:, None] < idx[None, :])
+
+
 def _greedy_suppress(over_thr):
     """Exact greedy NMS given a (N, N) over-threshold matrix for boxes
     already sorted by descending score. Returns keep mask (N,).
@@ -70,6 +102,9 @@ def _greedy_suppress(over_thr):
     Convergence is guaranteed (each round fixes at least the first
     not-yet-stable prefix index); typical suppression chains converge in
     <10 rounds, worst case N.
+
+    ``over_thr`` may be a full symmetric matrix or strict-upper-triangular
+    (from :func:`_upper_pair_mask`); only i < j entries are read.
     """
     n = over_thr.shape[0]
     idx = jnp.arange(n)
@@ -91,7 +126,7 @@ def _greedy_suppress(over_thr):
 
 
 def nms_rotated(boxes, scores, iou_threshold: float,
-                valid_mask=None, block: int = 256):
+                valid_mask=None, block=None):
     """Rotated NMS over padded candidates.
 
     Args:
@@ -111,8 +146,8 @@ def nms_rotated(boxes, scores, iou_threshold: float,
         scores = jnp.where(valid_mask, scores, NEG_INF)
     order = jnp.argsort(-scores)
     sorted_boxes = boxes[order]
-    over = _blocked_pair_mask(sorted_boxes, box_iou_rotated, iou_threshold,
-                              block)
+    over = _upper_pair_mask(sorted_boxes, box_iou_rotated, iou_threshold,
+                            block)
     keep_sorted = _greedy_suppress(over)
     if valid_mask is not None:
         keep_sorted = keep_sorted & (scores[order] > NEG_INF / 2)

@@ -52,10 +52,16 @@ def convex_hull(points):
     def next_vertex(cur):
         d = points - points[cur]                           # (N, 2)
         # candidate j is a hull successor if every point lies left of
-        # cur->j (cross >= -eps); among those take the farthest (handles
-        # collinear points and j == cur, whose distance is 0).
+        # cur->j (cross >= -tol); among those take the farthest (handles
+        # collinear points and j == cur, whose distance is 0). The
+        # tolerance must be scale-RELATIVE: under jit, XLA fuses the cross
+        # product into an FMA whose rounding turns exact zeros (j == k,
+        # d == 0) into O(|d_j||d_k| * 2^-23) negatives, which an absolute
+        # 1e-6 eps rejects — stalling the march.
         cr = _cross2(d[:, None, :], d[None, :, :])         # (N, N)
-        ok = (cr >= -1e-6).all(axis=1)
+        nrm = jnp.linalg.norm(d, axis=-1)
+        tol = 1e-5 * (nrm[:, None] * nrm[None, :]) + 1e-6
+        ok = (cr >= -tol).all(axis=1)
         dist = jnp.linalg.norm(d, axis=-1)
         score = jnp.where(ok, dist, -1.0)
         return jnp.argmax(score)
