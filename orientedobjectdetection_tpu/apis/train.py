@@ -88,7 +88,8 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
     data_shard = batch_sharding(mesh)
     repl = replicated(mesh)
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
-    step_fn = jax.jit(make_train_step(detector, tx))
+    norm_eval = bool(cfg.model.get('backbone', {}).get('norm_eval', True))
+    step_fn = jax.jit(make_train_step(detector, tx, norm_eval=norm_eval))
 
     def put(batch):
         return {k: jax.device_put(jnp.asarray(v), data_shard)

@@ -19,15 +19,21 @@ from ...utils.registry import BACKBONES
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm with frozen running statistics (detection fine-tuning mode).
+    """BatchNorm: frozen running statistics by default, live when trained
+    with a mutable ``batch_stats`` collection.
 
-    Equivalent to the reference's ``norm_eval=True`` BN: a per-channel affine
-    y = (x - mean) / sqrt(var + eps) * gamma + beta where mean/var are
-    non-trainable constants loaded from the pretrained checkpoint.
-    ``zero_scale`` (residual-branch-final norms) keeps activation variance
-    bounded at init when training without pretrained stats.
+    Frozen mode is the reference's ``norm_eval=True`` BN (the default for
+    every pretrained-ResNet detection config): a per-channel affine using
+    checkpoint statistics. When the train step applies the model with
+    ``mutable=['batch_stats']`` (``norm_eval=False`` configs — CSPNeXt /
+    YOLO prototypes train BN live, reference ``base_backbone.py:216-224``),
+    the layer normalizes with the current batch's statistics and EMA-updates
+    the running stats (momentum 0.1, torch convention). ``zero_scale``
+    (residual-branch-final norms) keeps activation variance bounded at init
+    when training without pretrained stats.
     """
     eps: float = 1e-5
+    momentum: float = 0.1
     zero_scale: bool = False
     dtype: Any = jnp.float32
 
@@ -43,8 +49,24 @@ class FrozenBatchNorm(nn.Module):
                              lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable('batch_stats', 'var',
                             lambda: jnp.ones((c,), jnp.float32))
-        scale = gamma / jnp.sqrt(var.value + self.eps)
-        bias = beta - mean.value * scale
+        live = self.is_mutable_collection('batch_stats') and \
+            not self.is_initializing()
+        if live:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            # batch statistics; under a batch-sharded jit XLA turns these
+            # reductions into cross-replica means (SyncBN for free)
+            bmean = xf.mean(axes)
+            bvar = xf.var(axes)
+            mean.value = (1 - self.momentum) * mean.value + \
+                self.momentum * bmean
+            var.value = (1 - self.momentum) * var.value + \
+                self.momentum * bvar
+            use_mean, use_var = bmean, bvar
+        else:
+            use_mean, use_var = mean.value, var.value
+        scale = gamma / jnp.sqrt(use_var + self.eps)
+        bias = beta - use_mean * scale
         return (x * scale.astype(self.dtype) + bias.astype(self.dtype))
 
 

@@ -132,9 +132,16 @@ def create_train_state(detector, rng, sample_images, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
-def make_train_step(detector, tx, loss_weights: Optional[Dict] = None):
+def make_train_step(detector, tx, loss_weights: Optional[Dict] = None,
+                    norm_eval: bool = True):
     """Returns the pure train-step fn; jit it with sharded-batch in_shardings
-    for multi-chip data parallelism."""
+    for multi-chip data parallelism.
+
+    ``norm_eval=False`` (reference ``norm_eval`` backbone flag) applies the
+    model with a mutable ``batch_stats`` collection: every BatchNorm runs on
+    batch statistics and EMA-updates its running stats, which are carried in
+    the TrainState.
+    """
 
     def train_step(state: TrainState, batch, rng=None):
         if rng is None:
@@ -144,18 +151,25 @@ def make_train_step(detector, tx, loss_weights: Optional[Dict] = None):
             variables = {'params': params}
             if state.batch_stats:
                 variables['batch_stats'] = state.batch_stats
-            outputs = detector.apply(variables, batch['images'],
-                                     batch=batch, train=True, rng=rng)
+            if not norm_eval:
+                outputs, updated = detector.apply(
+                    variables, batch['images'], batch=batch, train=True,
+                    rng=rng, mutable=['batch_stats'])
+                new_stats = updated['batch_stats']
+            else:
+                outputs = detector.apply(variables, batch['images'],
+                                         batch=batch, train=True, rng=rng)
+                new_stats = state.batch_stats
             losses = detector.loss_from_outputs(outputs, batch)
             total = sum(jnp.asarray(v) for v in losses.values())
-            return total, losses
+            return total, (losses, new_stats)
 
-        (total, losses), grads = jax.value_and_grad(
+        (total, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=params,
-                               batch_stats=state.batch_stats,
+                               batch_stats=new_stats,
                                opt_state=opt_state)
         metrics = dict(losses, loss=total,
                        grad_norm=optax.global_norm(grads))
