@@ -39,16 +39,18 @@ class DetectorBundle:
         self.dtype = dtype
         self.num_classes = int(cfg.model['bbox_head']['num_classes'])
         self.CLASSES = None
+        # variables are an ARGUMENT of the jitted fn (not a closure): they
+        # can be swapped (in-training eval on live params) without stale
+        # constants or a retrace.
         self._infer = jax.jit(self._infer_impl)
 
-    def _infer_impl(self, images):
-        outputs = self.detector.apply(self.variables,
-                                      images.astype(self.dtype))
+    def _infer_impl(self, variables, images):
+        outputs = self.detector.apply(variables, images.astype(self.dtype))
         outputs = jax.tree.map(lambda x: x.astype(jnp.float32), outputs)
         return self.detector.bboxes_from_outputs(outputs)
 
     def __call__(self, images):
-        return self._infer(images)
+        return self._infer(self.variables, images)
 
 
 def init_detector(config, checkpoint: Optional[str] = None,
@@ -172,11 +174,10 @@ def inference_detector_tta(bundle: DetectorBundle, img,
     per-class rotated NMS."""
     import cv2
     from ..ops.boxes import rbbox_flip
-    from ..ops.nms import nms_rotated
+    from ..ops.nms import nms_rotated_np
 
     if isinstance(img, str):
         img = cv2.imread(img, cv2.IMREAD_COLOR)
-    pad = bundle.cfg.get('pad_size') or (1024, 1024)
     variants = [(img, None)]
     for d in directions:
         flipped = img[:, ::-1] if d == 'horizontal' else img[::-1]
@@ -189,19 +190,20 @@ def inference_detector_tta(bundle: DetectorBundle, img,
             dets = np.asarray(dets, np.float32).reshape(-1, 6)
             if d is not None and len(dets):
                 import jax.numpy as jnp
+                # flip frame is the ACTUAL image shape, not the static pad
+                # canvas — the flip was applied to the original-size image
+                # before padding (reference uses img_shape from img_metas,
+                # ``transforms.py:9-33``)
                 mapped = np.asarray(rbbox_flip(
-                    jnp.asarray(dets[:, :5]), (pad[0], pad[1]), d, version))
+                    jnp.asarray(dets[:, :5]), im.shape[:2], d, version))
                 dets = np.concatenate([mapped, dets[:, 5:6]], -1)
             all_dets[c].append(dets)
 
     out = []
-    import jax.numpy as jnp
     for c in range(bundle.num_classes):
         merged = np.concatenate(all_dets[c]) if all_dets[c] else \
             np.zeros((0, 6), np.float32)
         if len(merged):
-            keep, _ = nms_rotated(jnp.asarray(merged[:, :5]),
-                                  jnp.asarray(merged[:, 5]), 0.1)
-            merged = merged[np.asarray(keep)]
+            merged = merged[nms_rotated_np(merged[:, :5], merged[:, 5], 0.1)]
         out.append(merged)
     return out

@@ -43,6 +43,7 @@ def maybe_init_distributed():
 
 
 def train_detector(cfg, work_dir: str, resume: bool = False,
+                   resume_from: Optional[str] = None,
                    max_steps: Optional[int] = None, log_interval: int = 50,
                    dtype=jnp.float32, seed: int = 0):
     maybe_init_distributed()
@@ -54,7 +55,7 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
         jax.local_device_count()
     loader = DataLoader(
         dataset, batch_size=batch_size,
-        max_gt=int(cfg.data.get('max_gt', 128)),
+        max_gt=int(cfg.data.get('max_gt', 512)),
         pad_size=cfg.data.get('pad_size'),
         num_workers=int(cfg.data.get('workers_per_gpu', 2)) * 4,
         seed=seed, shard_id=jax.process_index(),
@@ -78,7 +79,12 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
                          params=variables['params'], frozen_stages=frozen)
     state = create_train_state(detector, rng, init_images, tx)
 
-    if resume:
+    if resume_from:
+        # explicit checkpoint path (reference ``tools/train.py``
+        # --resume-from -> cfg.resume_from -> runner.resume)
+        state = load_checkpoint(resume_from, state)
+        print(f'resumed from {resume_from} (step {int(state.step)})')
+    elif resume:
         latest = find_latest_checkpoint(work_dir)
         if latest:
             state = load_checkpoint(latest, state)
@@ -95,6 +101,34 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
         return {k: jax.device_put(jnp.asarray(v), data_shard)
                 for k, v in batch.items() if k != 'img_metas'}
 
+    # ---- in-training evaluation (reference EvalHook, apis/train.py:104-132)
+    eval_cfg = dict(cfg.get('evaluation') or {})
+    eval_interval = int(eval_cfg.get('interval', 1))       # in epochs
+    eval_dataset = None
+    eval_bundle = None
+    if eval_cfg and cfg.data.get('val') and \
+            eval_cfg.get('metric', 'mAP') == 'mAP':
+        try:
+            eval_dataset = build_dataset(dict(cfg.data['val'],
+                                              test_mode=True,
+                                              filter_empty_gt=False))
+        except Exception as e:                            # data not on disk
+            print(f'eval dataset unavailable, skipping in-training eval: '
+                  f'{e}')
+
+    def run_eval(variables):
+        nonlocal eval_bundle
+        from .eval import eval_from_state
+        from .inference import DetectorBundle
+        if eval_bundle is None:
+            eval_bundle = DetectorBundle(cfg, detector, variables,
+                                         dtype=dtype)
+        return eval_from_state(
+            eval_bundle, variables, eval_dataset,
+            batch_size=int(eval_cfg.get('samples_per_gpu', 8)),
+            max_images=eval_cfg.get('max_images'))
+
+    best_map = -1.0
     step = int(state.step)
     t0 = time.time()
     with open(log_path, 'a') as logf:
@@ -114,11 +148,31 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
                     print(f'step {step}/{total_steps} ' +
                           ' '.join(f'{k}={v:.4f}' for k, v in m.items()
                                    if isinstance(v, float)))
+                if step % steps_per_epoch == 0:
+                    epoch = step // steps_per_epoch
+                    if jax.process_index() == 0:
+                        save_checkpoint(work_dir, jax.device_get(state),
+                                        step)
+                    if eval_dataset is not None and \
+                            epoch % eval_interval == 0:
+                        variables = {'params': state.params}
+                        if getattr(state, 'batch_stats', None):
+                            variables['batch_stats'] = state.batch_stats
+                        ev = run_eval(variables)
+                        logf.write(json.dumps(dict(
+                            step=step, epoch=epoch, mode='val', **{
+                                k: float(v) for k, v in ev.items()})) + '\n')
+                        logf.flush()
+                        print(f'epoch {epoch} val: {ev}')
+                        if float(ev.get('mAP', -1)) > best_map and \
+                                jax.process_index() == 0:
+                            best_map = float(ev['mAP'])
+                            save_checkpoint(work_dir,
+                                            jax.device_get(state), step,
+                                            prefix='best')
+                        t0 = time.time()
                 if step >= total_steps:
                     break
-                if step % steps_per_epoch == 0 and \
-                        jax.process_index() == 0:
-                    save_checkpoint(work_dir, jax.device_get(state), step)
     if jax.process_index() == 0:
         save_checkpoint(work_dir, jax.device_get(state), step)
     return state

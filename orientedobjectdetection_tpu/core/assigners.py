@@ -31,6 +31,57 @@ NEG = -1
 IGNORE = -2
 
 
+def _nan_mean_std_unbiased(x, axis=0):
+    """Mean and UNBIASED std over non-NaN entries (matches ``torch.std(0)``
+    with its N-1 denominator, used by the reference ATSS assigners'
+    candidate-IoU statistics — ``atss_obb_assigner.py`` et al.)."""
+    cnt = jnp.sum(~jnp.isnan(x), axis=axis).astype(jnp.float32)
+    mean = jnp.nanmean(x, axis=axis)
+    var = jnp.nanmean((x - jnp.expand_dims(mean, axis)) ** 2, axis=axis)
+    var = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+    return mean, jnp.sqrt(var)
+
+
+def random_sample_masks(pos, neg, num: int, pos_fraction: float,
+                        rng: jax.Array, neg_pos_ub: int = -1):
+    """Mask-based random pos/neg sampling (mmdet ``RandomSampler``
+    semantics, static shapes): keep at most ``num * pos_fraction`` positives
+    uniformly at random, then fill with random negatives up to ``num``
+    (optionally capping negatives at ``neg_pos_ub * num_pos``).
+
+    Returns (pos_keep, neg_keep) boolean masks over the prior axis.
+    """
+    num_pos_max = int(num * pos_fraction)
+    k1, k2 = jax.random.split(rng)
+    pos_scores = jnp.where(pos, jax.random.uniform(k1, pos.shape), -1.0)
+    pos_rank = jnp.argsort(jnp.argsort(-pos_scores))
+    pos_keep = pos & (pos_rank < num_pos_max)
+
+    num_pos = jnp.minimum(pos.sum(), num_pos_max)
+    num_neg_target = num - num_pos
+    if neg_pos_ub >= 0:
+        num_neg_target = jnp.minimum(num_neg_target,
+                                     neg_pos_ub * jnp.maximum(num_pos, 1))
+    neg_scores = jnp.where(neg, jax.random.uniform(k2, neg.shape), -1.0)
+    neg_rank = jnp.argsort(jnp.argsort(-neg_scores))
+    neg_keep = neg & (neg_rank < num_neg_target)
+    return pos_keep, neg_keep
+
+
+def rng_from_gt(gt_bboxes) -> jax.Array:
+    """Derive a deterministic per-image PRNG key from the gt content.
+
+    Loss paths that need sampling randomness but aren't threaded an rng
+    (single-stage/RPN losses) fold the gt coordinates into a key: distinct
+    images — and the same image under different augmentations — sample
+    different anchor subsets, while the whole train step stays a pure
+    function of its inputs.
+    """
+    folded = jnp.sum(gt_bboxes.astype(jnp.float32) * 997.0)
+    seed = jnp.mod(jnp.abs(folded), 2.0 ** 31).astype(jnp.uint32)
+    return jax.random.fold_in(jax.random.PRNGKey(0), seed)
+
+
 class AssignResult(NamedTuple):
     assigned_gt_inds: jnp.ndarray   # (N,) int32; >=0 gt index, -1 neg, -2 ignore
     max_overlaps: jnp.ndarray       # (N,) float32
@@ -180,8 +231,7 @@ class ATSSObbAssigner:
             start += n_lvl
 
         cand_iou = jnp.where(is_cand, overlaps, jnp.nan)    # (N, G)
-        mean = jnp.nanmean(cand_iou, axis=0)                # (G,)
-        std = jnp.sqrt(jnp.nanmean((cand_iou - mean) ** 2, axis=0))
+        mean, std = _nan_mean_std_unbiased(cand_iou, axis=0)
         thr = mean + std                                    # (G,)
 
         # center-inside-gt test in the gt frame
@@ -247,19 +297,9 @@ class RRandomSampler:
                  rng: jax.Array) -> SamplingResult:
         pos = assign_result.assigned_gt_inds >= 0
         neg = assign_result.assigned_gt_inds == NEG
-        num_pos_max = int(self.num * self.pos_fraction)
-
-        k1, k2 = jax.random.split(rng)
-        pos_scores = jnp.where(pos, jax.random.uniform(k1, pos.shape), -1.0)
-        pos_rank = jnp.argsort(jnp.argsort(-pos_scores))
-        pos_keep = pos & (pos_rank < num_pos_max)
-
-        num_pos = jnp.minimum(pos.sum(), num_pos_max)
-        num_neg_target = self.num - num_pos
-        neg_scores = jnp.where(neg, jax.random.uniform(k2, neg.shape), -1.0)
-        neg_rank = jnp.argsort(jnp.argsort(-neg_scores))
-        neg_keep = neg & (neg_rank < num_neg_target)
-
+        pos_keep, neg_keep = random_sample_masks(
+            pos, neg, self.num, self.pos_fraction, rng,
+            neg_pos_ub=self.neg_pos_ub)
         return SamplingResult(pos_keep, neg_keep,
                               assign_result.assigned_gt_inds,
                               assign_result.labels)
@@ -304,8 +344,7 @@ class SASAssigner:
             (points[:, None, :2] - gt_ctr[None]) / wh[None], axis=-1)
         quality = jnp.exp(-0.5 * nd ** 2)                    # (N, G)
         q = jnp.where(is_cand, quality, jnp.nan)
-        mean = jnp.nanmean(q, axis=0)
-        std = jnp.sqrt(jnp.nanmean((q - mean) ** 2, axis=0))
+        mean, std = _nan_mean_std_unbiased(q, axis=0)
         thr = mean + std
 
         polys = obb2poly(gt_bboxes, version)
@@ -359,8 +398,7 @@ class ATSSKldAssigner(ATSSObbAssigner):
             start += n_lvl
 
         cand = jnp.where(is_cand, overlaps, jnp.nan)
-        mean = jnp.nanmean(cand, axis=0)
-        std = jnp.sqrt(jnp.nanmean((cand - mean) ** 2, axis=0))
+        mean, std = _nan_mean_std_unbiased(cand, axis=0)
         thr = mean + std
 
         ga = gt_bboxes[:, 4]

@@ -137,8 +137,7 @@ class DOTADataset:
         """Translate per-patch detections back to original-image coordinates
         (``__x___y`` offsets in the tile filename, reference
         ``dota.py:216-276``) and merge with per-class rotated NMS."""
-        import jax.numpy as jnp
-        from ..ops.nms import nms_rotated
+        from ..ops.nms import nms_rotated_np
 
         pattern = re.compile(r'__(\d+)___(\d+)')
         collector = defaultdict(list)
@@ -147,7 +146,9 @@ class DOTADataset:
             match = pattern.search(fname)
             if match:
                 x_off, y_off = float(match.group(1)), float(match.group(2))
-                orig = fname[:match.start()]
+                # tiles are named ``id__<size>__<x>___<y>`` (reference
+                # ``dota.py:251`` splits on the first '__')
+                orig = fname.split('__', 1)[0]
             else:
                 x_off = y_off = 0.0
                 orig = fname
@@ -170,9 +171,10 @@ class DOTADataset:
                 if len(cd) == 0:
                     out_per_cls.append(np.zeros((0, 6), np.float32))
                     continue
-                keep, _ = nms_rotated(jnp.asarray(cd[:, :5]),
-                                      jnp.asarray(cd[:, 5]), 0.1)
-                out_per_cls.append(cd[np.asarray(keep)])
+                # bucketed host NMS: ragged per-class counts reuse a handful
+                # of compiled programs instead of one compile per N
+                keep = nms_rotated_np(cd[:, :5], cd[:, 5], 0.1)
+                out_per_cls.append(cd[keep])
             merged_ids.append(img_id)
             merged.append(out_per_cls)
         return merged_ids, merged

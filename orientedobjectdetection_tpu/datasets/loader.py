@@ -18,8 +18,17 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
-def pad_collate(samples, max_gt: int = 128, pad_size=None):
-    """List of pipeline outputs -> fixed-shape batch dict."""
+_TRUNC_WARNED = [False]
+
+
+def pad_collate(samples, max_gt: int = 512, pad_size=None):
+    """List of pipeline outputs -> fixed-shape batch dict.
+
+    Crowded DOTA tiles can exceed ``max_gt`` (small-vehicle scenes run past
+    500 instances); overflow keeps the LARGEST-AREA boxes (dropping the
+    smallest is the least-harmful truncation — their anchors would otherwise
+    be trained as background) and warns once.
+    """
     imgs = [s['img'] for s in samples]
     if pad_size is None:
         h = max(i.shape[0] for i in imgs)
@@ -37,9 +46,22 @@ def pad_collate(samples, max_gt: int = 128, pad_size=None):
         images[i, :im.shape[0], :im.shape[1]] = im
         boxes = s.get('gt_bboxes')
         if boxes is not None and len(boxes):
-            n = min(len(boxes), max_gt)
+            labels = np.asarray(s['gt_labels'])
+            if len(boxes) > max_gt:
+                if not _TRUNC_WARNED[0]:
+                    import warnings
+                    warnings.warn(
+                        f'pad_collate: {len(boxes)} gts > max_gt={max_gt}; '
+                        'keeping the largest-area boxes. Raise max_gt in '
+                        'the dataset/loader config to keep all.')
+                    _TRUNC_WARNED[0] = True
+                area = np.asarray(boxes)[:, 2] * np.asarray(boxes)[:, 3]
+                keep = np.argsort(-area)[:max_gt]
+                boxes = np.asarray(boxes)[keep]
+                labels = labels[keep]
+            n = len(boxes)
             gt_bboxes[i, :n] = boxes[:n]
-            gt_labels[i, :n] = s['gt_labels'][:n]
+            gt_labels[i, :n] = labels[:n]
             gt_mask[i, :n] = True
         metas.append(s.get('img_metas', {}))
     return dict(images=images, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
@@ -49,7 +71,7 @@ def pad_collate(samples, max_gt: int = 128, pad_size=None):
 class DataLoader:
     """Shuffling, prefetching loader over a map-style dataset."""
 
-    def __init__(self, dataset, batch_size: int, max_gt: int = 128,
+    def __init__(self, dataset, batch_size: int, max_gt: int = 512,
                  pad_size=None, shuffle: bool = True, seed: int = 0,
                  num_workers: int = 8, prefetch: int = 4,
                  drop_last: bool = True, shard_id: int = 0,

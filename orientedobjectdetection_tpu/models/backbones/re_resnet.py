@@ -61,13 +61,13 @@ class ReConv(nn.Module):
                 x.astype(self.dtype), wall, (self.stride,) * 2, 'VALID',
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
             return out
+        # stride goes INTO the conv (a full-res conv + [::stride] slice
+        # wastes stride^2 x the MXU work)
         oc = ORConv2d(self.out_base_channels, kernel_size=3,
                       in_orientations=self.in_orientations,
                       num_orientations=8, use_bias=self.use_bias,
-                      dtype=self.dtype, name='orconv')
-        if self.stride == 1:
-            return oc(x)
-        return oc(x)[:, ::self.stride, ::self.stride]
+                      stride=self.stride, dtype=self.dtype, name='orconv')
+        return oc(x)
 
 
 class ReBottleneck(nn.Module):

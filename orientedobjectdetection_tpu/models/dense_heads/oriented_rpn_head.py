@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.assigners import MaxIoUAssigner
+from ...core.assigners import (MaxIoUAssigner, random_sample_masks,
+                               rng_from_gt)
 from ...core.coders import MidpointOffsetCoder
 from ...ops.boxes import hbb2obb, obb2xyxy
 from ...ops.nms import NEG_INF, hbb_overlaps, nms_hbb
@@ -92,6 +93,14 @@ class OrientedRPNHead(nn.Module):
         anchors_rot = hbb2obb(anchors_xyxy, self.version)
         b = cls_scores[0].shape[0]
 
+        # Reference RPN samples 256 anchors/img at pos_fraction=0.5
+        # (RandomSampler in the rpn train_cfg) — without it, BCE averaged
+        # over ~1e5 anchors drowns the ~10-100 positives.
+        samp = dict((self.train_cfg or {}).get('sampler') or {})
+        samp_num = int(samp.get('num', 256))
+        samp_frac = float(samp.get('pos_fraction', 0.5))
+        samp_ub = int(samp.get('neg_pos_ub', -1))
+
         def targets_single(gb, gl, gm):
             # assign on circumscribed HBBs (as rotated boxes theta-canonical)
             from ...ops.boxes import obb2hbb
@@ -100,6 +109,9 @@ class OrientedRPNHead(nn.Module):
                                    jnp.zeros_like(gl), gm)
             pos = assign.assigned_gt_inds >= 0
             neg = assign.assigned_gt_inds == -1
+            pos, neg = random_sample_masks(pos, neg, samp_num, samp_frac,
+                                           rng_from_gt(gb),
+                                           neg_pos_ub=samp_ub)
             safe = jnp.clip(assign.assigned_gt_inds, 0, None)
             deltas = self.coder.encode(anchors_xyxy, gb[safe])
             deltas = jnp.where(pos[:, None], deltas, 0.0)
@@ -115,16 +127,15 @@ class OrientedRPNHead(nn.Module):
         box_flat = jnp.concatenate(
             [p.reshape(b, -1, 6) for p in bbox_preds], 1)
 
-        # RPN normalizes by total sampled count (pos+neg capped in reference
-        # by the sampler at 256/img; with focal-free BCE over all anchors we
-        # follow the dense form and normalize by num_pos-equivalent samples)
-        num_samples = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+        # mmdet RPN normalization: both losses average over the total
+        # sampled count (~256/img), not the dense anchor count.
+        num_samples = jnp.maximum(lw.sum(), 1.0)
         cls_loss_fn = _build(LOSSES, dict(
             self.loss_cls or dict(type='CrossEntropyLoss', use_sigmoid=True,
                                   loss_weight=1.0)))
         fg = (labels == 0).astype(cls_flat.dtype)
         loss_cls = cls_loss_fn(cls_flat[..., None], fg[..., None],
-                               weight=lw, avg_factor=lw.sum())
+                               weight=lw, avg_factor=num_samples)
         bbox_loss_fn = _build(LOSSES, dict(
             self.loss_bbox or dict(type='SmoothL1Loss', beta=1.0 / 9.0,
                                    loss_weight=1.0)))

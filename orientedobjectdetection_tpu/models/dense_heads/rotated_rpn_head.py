@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...core.assigners import MaxIoUAssigner
+from ...core.assigners import (MaxIoUAssigner, random_sample_masks,
+                               rng_from_gt)
 from ...core.coders import DeltaXYWHBBoxCoder
 from ...ops.boxes import hbb2obb, obb2hbb, obb2xyxy
 from ...ops.nms import NEG_INF, nms_hbb
@@ -88,12 +89,21 @@ class RotatedRPNHead(nn.Module):
         anchors_rot = hbb2obb(anchors_xyxy, self.version)
         b = cls_scores[0].shape[0]
 
+        # 256-anchor random sampling (reference rpn train_cfg RandomSampler)
+        samp = dict((self.train_cfg or {}).get('sampler') or {})
+        samp_num = int(samp.get('num', 256))
+        samp_frac = float(samp.get('pos_fraction', 0.5))
+        samp_ub = int(samp.get('neg_pos_ub', -1))
+
         def targets_single(gb, gl, gm):
             gt_hbb = obb2hbb(gb, self.version)
             assign = self.assigner(anchors_rot, gt_hbb,
                                    jnp.zeros_like(gl), gm)
             pos = assign.assigned_gt_inds >= 0
             neg = assign.assigned_gt_inds == -1
+            pos, neg = random_sample_masks(pos, neg, samp_num, samp_frac,
+                                           rng_from_gt(gb),
+                                           neg_pos_ub=samp_ub)
             safe = jnp.clip(assign.assigned_gt_inds, 0, None)
             gt_xyxy = obb2xyxy(gb, self.version)
             deltas = self.coder.encode(anchors_xyxy, gt_xyxy[safe])
@@ -107,16 +117,16 @@ class RotatedRPNHead(nn.Module):
         box_flat = jnp.concatenate(
             [p.reshape(b, -1, 4) for p in bbox_preds], 1)
 
-        num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+        num_samples = jnp.maximum(lw.sum(), 1.0)
         fg = (labels == 0).astype(cls_flat.dtype)
         loss_cls = _build(LOSSES, dict(
             self.loss_cls or dict(type='CrossEntropyLoss',
                                   use_sigmoid=True)))(
             cls_flat[..., None], fg[..., None], weight=lw,
-            avg_factor=lw.sum())
+            avg_factor=num_samples)
         loss_bbox = _build(LOSSES, dict(
             self.loss_bbox or dict(type='SmoothL1Loss', beta=1.0 / 9.0)))(
-            box_flat, bt, weight=bw, avg_factor=num_pos)
+            box_flat, bt, weight=bw, avg_factor=num_samples)
         return dict(loss_rpn_cls=loss_cls, loss_rpn_bbox=loss_bbox)
 
     def get_proposals(self, outputs, cfg=None, max_candidates: int = 4096):

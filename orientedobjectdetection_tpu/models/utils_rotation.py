@@ -51,6 +51,7 @@ class ORConv2d(nn.Module):
     in_orientations: int = 1
     num_orientations: int = 8
     use_bias: bool = True
+    stride: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -84,7 +85,8 @@ class ORConv2d(nn.Module):
 
         import jax.lax as lax
         out = lax.conv_general_dilated(
-            x.astype(self.dtype), wall, window_strides=(1, 1),
+            x.astype(self.dtype), wall,
+            window_strides=(self.stride,) * 2,
             padding=[(1, 1), (1, 1)],
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         if self.use_bias:

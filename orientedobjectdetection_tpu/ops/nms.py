@@ -155,14 +155,21 @@ def nms_rotated(boxes, scores, iou_threshold: float,
     return keep, order
 
 
-def nms_hbb(boxes, scores, iou_threshold: float, valid_mask=None):
+def nms_hbb(boxes, scores, iou_threshold: float, valid_mask=None,
+            block: int = 512):
     """Axis-aligned NMS with the same static-shape contract as
-    :func:`nms_rotated` (for the RPN paths)."""
+    :func:`nms_rotated` (for the RPN paths).
+
+    Uses the same block-triangular pair mask as the rotated path — the RPN
+    runs this at 4096 candidates/img, so skipping the lower triangle halves
+    the pairwise-IoU work (HBB IoU is cheap per element; coarse 512-row
+    blocks keep compile time flat)."""
     if valid_mask is not None:
         scores = jnp.where(valid_mask, scores, NEG_INF)
     order = jnp.argsort(-scores)
     sorted_boxes = boxes[order]
-    over = hbb_overlaps(sorted_boxes, sorted_boxes) > iou_threshold
+    over = _upper_pair_mask(sorted_boxes, hbb_overlaps, iou_threshold,
+                            block=min(block, boxes.shape[0]))
     keep_sorted = _greedy_suppress(over)
     if valid_mask is not None:
         keep_sorted = keep_sorted & (scores[order] > NEG_INF / 2)
@@ -250,6 +257,51 @@ def multiclass_nms_rotated(multi_bboxes,
     return dets, out_labels, out_valid
 
 
+def _nms_bucket(n: int) -> int:
+    """Round a host-side candidate count up to a power of two (min 32) so
+    repeated NMS calls with ragged N reuse a handful of compiled programs
+    (same trick as ``core/eval_map._next_bucket``; a DOTA submission merge
+    calls NMS thousands of times with distinct per-class counts)."""
+    b = 32
+    while b < n:
+        b *= 2
+    return b
+
+
+@partial(jax.jit, static_argnames=('iou_threshold',))
+def _nms_rotated_masked(boxes, scores, iou_threshold, valid_mask):
+    return nms_rotated(boxes, scores, iou_threshold, valid_mask=valid_mask)
+
+
+def nms_rotated_np(boxes, scores, iou_thr: float):
+    """Host-convenience rotated NMS over numpy arrays with shape bucketing.
+
+    Args:
+        boxes: (N, 5) numpy; scores: (N,) numpy.
+    Returns:
+        keep: (K,) numpy int indices of survivors, descending-score order.
+    """
+    import numpy as np
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 5)
+    scores = np.asarray(scores, np.float32).reshape(-1)
+    n = boxes.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    nb = _nms_bucket(n)
+    bp = np.zeros((nb, 5), np.float32)
+    sp = np.full((nb,), NEG_INF, np.float32)
+    bp[:n] = boxes
+    sp[:n] = scores
+    valid = np.zeros((nb,), bool)
+    valid[:n] = True
+    keep, order = _nms_rotated_masked(jnp.asarray(bp), jnp.asarray(sp),
+                                      float(iou_thr), jnp.asarray(valid))
+    keep = np.asarray(keep)
+    order = np.asarray(order)
+    kept_sorted = order[keep[order]]
+    return kept_sorted[kept_sorted < n]
+
+
 def batched_nms_hbb(boxes, scores, labels, iou_thr: float, valid_mask=None):
     """Class-offset axis-aligned batched NMS (RPN proposals are class-
     agnostic in practice: pass labels=zeros)."""
@@ -280,9 +332,7 @@ def aug_multiclass_nms_rotated(merged_bboxes, merged_labels, num_classes,
         sel = merged_bboxes[merged_labels == c]
         if not len(sel):
             continue
-        keep, order = nms_rotated(jnp.asarray(sel[:, :5]),
-                                  jnp.asarray(sel[:, 5]), iou_thr)
-        kept = np.asarray(order)[np.asarray(keep)[np.asarray(order)]]
+        kept = nms_rotated_np(sel[:, :5], sel[:, 5], iou_thr)
         out_d.append(sel[kept])
         out_l.append(np.full(len(kept), c, np.int64))
     if not out_d:

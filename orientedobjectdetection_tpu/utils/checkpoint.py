@@ -17,21 +17,32 @@ import jax
 from flax import serialization
 
 
-def _ckpt_path(work_dir: str, step: int) -> str:
-    return osp.join(osp.abspath(work_dir), f'ckpt_{step:08d}.msgpack')
+def _ckpt_path(work_dir: str, step: int, prefix: str = 'ckpt') -> str:
+    return osp.join(osp.abspath(work_dir), f'{prefix}_{step:08d}.msgpack')
 
 
-def save_checkpoint(work_dir: str, state, step: int, keep: int = 3) -> str:
+def save_checkpoint(work_dir: str, state, step: int, keep: int = 3,
+                    prefix: str = 'ckpt') -> str:
+    """``prefix='best'`` saves a best-mAP checkpoint outside the rotation
+    (the reference EvalHook's ``save_best`` behavior)."""
     os.makedirs(work_dir, exist_ok=True)
     payload = state._asdict() if hasattr(state, '_asdict') else state
     payload = jax.device_get(payload)
-    path = _ckpt_path(work_dir, step)
+    path = _ckpt_path(work_dir, step, prefix)
     tmp = path + '.tmp'
     with open(tmp, 'wb') as f:
         f.write(serialization.to_bytes(payload))
     os.replace(tmp, path)  # atomic
-    for old in find_checkpoints(work_dir)[:-keep]:
-        os.remove(old)
+    if prefix == 'ckpt':
+        for old in find_checkpoints(work_dir)[:-keep]:
+            os.remove(old)
+    else:
+        # keep only the newest checkpoint of this prefix
+        stale = [osp.join(osp.abspath(work_dir), n)
+                 for n in os.listdir(work_dir)
+                 if re.fullmatch(rf'{prefix}_\d{{8}}\.msgpack', n)]
+        for old in sorted(stale)[:-1]:
+            os.remove(old)
     return path
 
 

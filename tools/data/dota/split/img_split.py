@@ -132,7 +132,10 @@ def split_one(task, save_img_dir, save_ann_dir, sizes, gaps,
             canvas[...] = padding_value
             canvas[:patch.shape[0], :patch.shape[1]] = patch
             patch = canvas
-        name = f'{base}__{x1}___{y1}'
+        # Reference naming ``id__<size>__<x>___<y>`` (img_split.py:307-309):
+        # the window size keeps multi-scale splits (rates 0.5/1.0/1.5 ->
+        # different window sizes) from colliding on shared (x, y) offsets.
+        name = f'{base}__{int(ww)}__{x1}___{y1}'
         lines = []
         if len(polys):
             ratios = clip_polys_to_window(polys, x1, y1, x2, y2)

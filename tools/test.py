@@ -23,14 +23,16 @@ def parse_args():
     p.add_argument('--out', default=None, help='pickle results path')
     p.add_argument('--bf16', action='store_true')
     p.add_argument('--max-images', type=int, default=None)
+    p.add_argument('--batch-size', type=int, default=8,
+                   help='images per compiled inference batch')
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     import jax.numpy as jnp
-    from orientedobjectdetection_tpu.apis.inference import (
-        init_detector, inference_detector)
+    from orientedobjectdetection_tpu.apis.eval import batched_eval
+    from orientedobjectdetection_tpu.apis.inference import init_detector
     from orientedobjectdetection_tpu.datasets import build_dataset
     from orientedobjectdetection_tpu.utils import Config
 
@@ -43,13 +45,8 @@ def main():
                                  filter_empty_gt=False))
     n = len(dataset) if args.max_images is None else \
         min(args.max_images, len(dataset))
-    results = []
-    for i in range(n):
-        info = dataset.data_infos[i]
-        img_path = osp.join(dataset.img_prefix, info['filename'])
-        results.append(inference_detector(bundle, img_path))
-        if (i + 1) % 50 == 0:
-            print(f'{i + 1}/{n}')
+    results = batched_eval(bundle, dataset, batch_size=args.batch_size,
+                           max_images=n)
 
     if args.out:
         import pickle

@@ -48,6 +48,7 @@ def main():
         'work_dirs', osp.splitext(osp.basename(args.config))[0])
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     train_detector(cfg, work_dir, resume=args.auto_resume,
+                   resume_from=args.resume_from,
                    max_steps=args.max_steps, dtype=dtype, seed=args.seed)
 
 
