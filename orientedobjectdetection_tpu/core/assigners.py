@@ -307,24 +307,35 @@ class RRandomSampler:
 
 @BBOX_ASSIGNERS.register_module()
 class SASAssigner:
-    """SASM's shape-adaptive selection (reference
-    ``assigners/sas_assigner.py:72-222``): per gt, top-k candidates by
-    center distance per level; dynamic IoU threshold = mean + std of the
-    candidates' gaussian-distance quality; positives must lie inside the gt.
-    Vectorized over padded gts with point-set quality from convex IoU."""
+    """SASM's shape-adaptive selection over point SETS (reference
+    ``assigners/sas_assigner.py:72-222``): quality = convex-hull IoU of the
+    pointset against the gt polygon; candidates = top-k by (pointset mean
+    center -> gt hbb center) distance per level; dynamic threshold =
+    (mean + std of candidate IoUs) * exp(-mean_gt_aspect_ratio / 4);
+    positives must have their mean center inside the gt polygon. Vectorized
+    over padded gts."""
 
     def __init__(self, topk: int = 9):
         self.topk = topk
 
-    def __call__(self, points, num_level_points, gt_bboxes, gt_labels,
-                 gt_mask, version: str = 'le90') -> AssignResult:
-        from ..ops.boxes import obb2poly
-        from ..ops.points import points_in_polygons
-        points = jax.lax.stop_gradient(points)
-        G = gt_bboxes.shape[0]
-        N = points.shape[0]
-        gt_ctr = gt_bboxes[:, :2]
-        dist = jnp.linalg.norm(points[:, None, :2] - gt_ctr[None], axis=-1)
+    def __call__(self, pointsets, num_level_points, gt_polys, gt_labels,
+                 gt_mask) -> AssignResult:
+        """pointsets (N, 18); gt_polys (G, 8) padded."""
+        from ..ops.points import convex_iou, points_in_polygons
+        pointsets = jax.lax.stop_gradient(pointsets)
+        G = gt_polys.shape[0]
+        N = pointsets.shape[0]
+
+        overlaps = convex_iou(pointsets, gt_polys)           # (N, G)
+        overlaps = jnp.where(gt_mask[None], overlaps, 0.0)
+
+        pts = pointsets.reshape(N, -1, 2)
+        ctr = pts.mean(1)                                    # (N, 2)
+        xs = gt_polys[:, 0::2]
+        ys = gt_polys[:, 1::2]
+        gt_ctr = jnp.stack([(xs.min(1) + xs.max(1)) / 2,
+                            (ys.min(1) + ys.max(1)) / 2], -1)
+        dist = jnp.linalg.norm(ctr[:, None] - gt_ctr[None], axis=-1)
         dist = jnp.where(gt_mask[None], dist, 1e9)
 
         is_cand = jnp.zeros((N, G), bool)
@@ -338,27 +349,29 @@ class SASAssigner:
             is_cand = is_cand.at[start:start + n_lvl].set(m.T)
             start += n_lvl
 
-        # quality: gaussian of normalized center distance
-        wh = jnp.maximum(gt_bboxes[:, 2:4], 1e-6)
-        nd = jnp.linalg.norm(
-            (points[:, None, :2] - gt_ctr[None]) / wh[None], axis=-1)
-        quality = jnp.exp(-0.5 * nd ** 2)                    # (N, G)
-        q = jnp.where(is_cand, quality, jnp.nan)
+        q = jnp.where(is_cand, overlaps, jnp.nan)
         mean, std = _nan_mean_std_unbiased(q, axis=0)
-        thr = mean + std
+        # shape-adaptive threshold: scale by exp(-ratio/4) with ratio the
+        # MEAN gt aspect ratio (the reference's ``.mean(0)`` collapses the
+        # per-gt ratios to a scalar — replicated)
+        e1 = jnp.linalg.norm(gt_polys[:, 2:4] - gt_polys[:, 0:2], axis=-1)
+        e2 = jnp.linalg.norm(gt_polys[:, 4:6] - gt_polys[:, 2:4], axis=-1)
+        ratio = jnp.maximum(e1, e2) / jnp.maximum(jnp.minimum(e1, e2), 1e-6)
+        mean_ratio = jnp.sum(jnp.where(gt_mask, ratio, 0.0)) / \
+            jnp.maximum(gt_mask.sum(), 1)
+        thr = (mean + std) * jnp.exp(-0.25 * mean_ratio)
 
-        polys = obb2poly(gt_bboxes, version)
-        inside = points_in_polygons(points[:, :2], polys)    # (N, G)
-        is_pos = is_cand & (quality >= thr[None]) & inside & gt_mask[None]
+        inside = points_in_polygons(ctr, gt_polys)           # (N, G)
+        is_pos = is_cand & (overlaps >= thr[None]) & inside & gt_mask[None]
 
-        posq = jnp.where(is_pos, quality, -1.0)
+        posq = jnp.where(is_pos, overlaps, -1.0)
         maxq = posq.max(-1)
         assigned = jnp.where(maxq > -1, posq.argmax(-1).astype(jnp.int32),
                              NEG)
         labels = jnp.where(assigned >= 0,
                            gt_labels[jnp.clip(assigned, 0, None)].astype(
                                jnp.int32), -1)
-        return AssignResult(assigned, quality.max(-1), labels)
+        return AssignResult(assigned, overlaps.max(-1), labels)
 
 
 @BBOX_ASSIGNERS.register_module()

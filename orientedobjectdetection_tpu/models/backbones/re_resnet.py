@@ -120,12 +120,14 @@ class ReResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        stage_blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        # depth 18 = 1-block stages (tiny test arch; same out channels)
+        stage_blocks = {18: (1, 1, 1, 1), 50: (3, 4, 6, 3),
+                        101: (3, 4, 23, 3)}[self.depth]
         # lifting stem: image (1 orientation) -> regular C8 features
         x = ORConv2d(8, kernel_size=3, in_orientations=1,
-                     num_orientations=8, use_bias=False, dtype=self.dtype,
+                     num_orientations=8, use_bias=False, stride=2,
+                     dtype=self.dtype,
                      name='stem_lift')(x)          # 64 channels = 8 base * 8
-        x = x[:, ::2, ::2]                          # stride-2 stem
         x = FrozenBatchNorm(dtype=self.dtype, name='stem_bn')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)

@@ -198,7 +198,8 @@ class AnchorHeadLogic:
                 boxes, scores,
                 score_thr=float(cfg.get('score_thr', 0.05)),
                 iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
-                max_per_img=int(cfg.get('max_per_img', 2000)))
+                max_per_img=int(cfg.get('max_per_img', 2000)),
+                max_candidates=int(cfg.get('max_candidates', 2000)))
 
         return jax.vmap(per_image)(list(cls_scores), list(bbox_preds))
 

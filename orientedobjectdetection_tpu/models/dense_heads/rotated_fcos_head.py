@@ -333,6 +333,7 @@ class RotatedFCOSHead(nn.Module):
                 boxes, scores, score_thr=float(cfg.get('score_thr', 0.05)),
                 iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
                 max_per_img=int(cfg.get('max_per_img', 2000)),
+                max_candidates=int(cfg.get('max_candidates', 2000)),
                 score_factors=ctrs)
 
         return jax.vmap(per_image)(list(cls_scores), list(bbox_preds),

@@ -304,7 +304,8 @@ class RotatedYOLOv8Head(nn.Module):
                 sel_boxes, sel_scores,
                 score_thr=float(cfg.get('score_thr', 0.05)),
                 iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
-                max_per_img=int(cfg.get('max_per_img', 2000)))
+                max_per_img=int(cfg.get('max_per_img', 2000)),
+                max_candidates=int(cfg.get('max_candidates', 2000)))
 
         return jax.vmap(per_image)(cls_flat, box_flat, ang_flat)
 

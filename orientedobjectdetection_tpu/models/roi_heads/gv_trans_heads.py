@@ -211,7 +211,8 @@ class GVRatioRoIHead(nn.Module):
             return multiclass_nms_rotated(
                 bx, sc, score_thr=float(cfg.get('score_thr', 0.05)),
                 iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
-                max_per_img=int(cfg.get('max_per_img', 2000)))
+                max_per_img=int(cfg.get('max_per_img', 2000)),
+                max_candidates=int(cfg.get('max_candidates', 2000)))
 
         return jax.vmap(per_image)(obbs, scores)
 
@@ -399,6 +400,7 @@ class RoITransRoIHead(nn.Module):
             return multiclass_nms_rotated(
                 bx, sc, score_thr=float(cfg.get('score_thr', 0.05)),
                 iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
-                max_per_img=int(cfg.get('max_per_img', 2000)))
+                max_per_img=int(cfg.get('max_per_img', 2000)),
+                max_candidates=int(cfg.get('max_candidates', 2000)))
 
         return jax.vmap(per_image)(decoded, scores)

@@ -339,3 +339,57 @@ def gt2gaussian(target):
     S = 0.5 * wh
     sigma = jnp.einsum('...ij,...j,...kj->...ik', R, S * S, R)
     return xy, sigma
+
+
+def gt2gaussian_poly(polys, L: float = 3.0):
+    """Polygon -> 2-D Gaussian, the G-RepPoints convention (reference
+    ``core/bbox/transforms.py:916-937``): mu = corner mean, sigma =
+    R diag(w^2, h^2)/(4 L^2) R^T with L=3 (so the box spans +-3 sigma).
+
+    Args:
+        polys: (..., 8) or (..., 4, 2) corner polygons.
+    Returns:
+        (mu (..., 2), sigma (..., 2, 2)).
+    """
+    p = polys.reshape(polys.shape[:-1] + (4, 2)) if polys.shape[-1] == 8 \
+        else polys
+    center = p.mean(-2)
+    edge_1 = p[..., 1, :] - p[..., 0, :]
+    edge_2 = p[..., 2, :] - p[..., 1, :]
+    w2 = jnp.maximum((edge_1 * edge_1).sum(-1), 1e-7)
+    h2 = jnp.maximum((edge_2 * edge_2).sum(-1), 1e-7)
+    cos_t = edge_1[..., 0] / jnp.sqrt(w2)
+    sin_t = edge_1[..., 1] / jnp.sqrt(w2)
+    R = jnp.stack([cos_t, -sin_t, sin_t, cos_t], -1).reshape(
+        w2.shape + (2, 2))
+    diag = jnp.stack([w2, h2], -1) / (4 * L * L)
+    sigma = jnp.einsum('...ij,...j,...kj->...ik', R, diag, R)
+    return center, sigma
+
+
+def gaussian2bbox(mu, sigma, L: float = 3.0):
+    """Gaussian -> corner polygon, inverse of :func:`gt2gaussian_poly`
+    (reference ``transforms.py:883-913`` uses torch_batch_svd; a 2x2
+    symmetric eigendecomposition is closed-form, no SVD needed).
+
+    Args:
+        mu: (..., 2); sigma: (..., 2, 2) symmetric PSD.
+    Returns:
+        (..., 8) polygons.
+    """
+    a = sigma[..., 0, 0]
+    b = sigma[..., 0, 1]
+    c = sigma[..., 1, 1]
+    theta = 0.5 * jnp.arctan2(2 * b, a - c)
+    mean = 0.5 * (a + c)
+    root = jnp.sqrt(jnp.maximum(((a - c) / 2) ** 2 + b ** 2, 0.0))
+    lam1 = jnp.maximum(mean + root, 1e-12)
+    lam2 = jnp.maximum(mean - root, 1e-12)
+    half = L * jnp.sqrt(jnp.stack([lam1, lam2], -1))        # (..., 2)
+    signs = jnp.asarray([[-1., 1.], [1., 1.], [1., -1.], [-1., -1.]])
+    d = signs * half[..., None, :]                           # (..., 4, 2)
+    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+    R = jnp.stack([cos_t, -sin_t, sin_t, cos_t], -1).reshape(
+        theta.shape + (2, 2))
+    corners = mu[..., None, :] + jnp.einsum('...ij,...kj->...ki', R, d)
+    return corners.reshape(mu.shape[:-1] + (8,))
