@@ -151,7 +151,8 @@ class OrientedRPNHead(nn.Module):
         cfg = cfg if cfg is not None else (self.test_cfg or {})
         nms_pre = int(cfg.get('nms_pre', 2000))
         max_num = int(cfg.get('max_per_img', cfg.get('max_num', 2000)))
-        iou_thr = float(cfg.get('nms', {}).get('iou_thr', 0.8))
+        nms_cfg = cfg.get('nms', {})
+        iou_thr = float(nms_cfg.get('iou_thr', nms_cfg.get('iou_threshold', 0.8)))
         min_bbox_size = float(cfg.get('min_bbox_size', 0))
 
         featmap_sizes = [s.shape[1:3] for s in cls_scores]

@@ -135,7 +135,8 @@ class RotatedRPNHead(nn.Module):
         cfg = cfg if cfg is not None else (self.test_cfg or {})
         nms_pre = int(cfg.get('nms_pre', 2000))
         max_num = int(cfg.get('max_per_img', cfg.get('max_num', 2000)))
-        iou_thr = float(cfg.get('nms', {}).get('iou_thr', 0.7))
+        nms_cfg = cfg.get('nms', {})
+        iou_thr = float(nms_cfg.get('iou_thr', nms_cfg.get('iou_threshold', 0.7)))
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         level_anchors = self.prior_generator.grid_priors(featmap_sizes)
 

@@ -183,8 +183,12 @@ class RotatedYOLOv8Head(nn.Module):
         assert len(feats) == len(self.featmap_strides)
         chans = [make_divisible(c, self.widen_factor)
                  for c in self.in_channels]
-        reg_out = max(16, chans[0] // 4)
+        # DFL widens the reg tower (reference rotated_yolov8_head.py:129)
+        reg_out = max(16, chans[0] // 4, self.reg_max * 4)
         cls_out = max(chans[0], self.num_classes)
+        # integral-distribution bins per side (reference :191-194,220-230):
+        # 1 base prior + reg_max extra bins; distances = E[softmax bins]
+        n_bins = 1 + self.reg_max
 
         cls_scores, bbox_preds, angle_preds = [], [], []
         for i, x in enumerate(feats):
@@ -202,10 +206,22 @@ class RotatedYOLOv8Head(nn.Module):
                            name=f'reg_conv_{i}_0')(x)
             r = ConvModule(reg_out, 3, dtype=self.dtype,
                            name=f'reg_conv_{i}_1')(r)
-            rp = nn.Conv(4, (1, 1), bias_init=nn.initializers.ones,
-                         dtype=self.dtype, name=f'reg_pred_{i}')(r)
-            rp = Scale(name=f'scale_{i}')(rp)
-            bbox_preds.append(jnp.clip(rp.astype(jnp.float32), 0))
+            if self.reg_max > 1:
+                # DFL: per side, a distribution over n_bins distances;
+                # the regressed distance is its expectation (the softmax @
+                # arange matmul of the reference, :227-230)
+                dist = nn.Conv(n_bins * 4, (1, 1), dtype=self.dtype,
+                               name=f'reg_pred_{i}')(r)
+                b_, h_, w_, _ = dist.shape
+                dist = dist.reshape(b_, h_, w_, 4, n_bins)
+                prob = jax.nn.softmax(dist.astype(jnp.float32), axis=-1)
+                proj = jnp.arange(n_bins, dtype=jnp.float32)
+                bbox_preds.append((prob * proj).sum(-1))
+            else:
+                rp = nn.Conv(4, (1, 1), bias_init=nn.initializers.ones,
+                             dtype=self.dtype, name=f'reg_pred_{i}')(r)
+                rp = Scale(name=f'scale_{i}')(rp)
+                bbox_preds.append(jnp.clip(rp.astype(jnp.float32), 0))
             a = ConvModule(cls_out, 3, dtype=self.dtype,
                            name=f'ang_conv_{i}_0')(x)
             a = ConvModule(cls_out, 3, dtype=self.dtype,

@@ -48,9 +48,11 @@ class OrientedStandardRoIHead(nn.Module):
     def roi_cfg(self):
         cfg = dict(self.bbox_roi_extractor or {})
         layer = cfg.get('roi_layer', {})
+        out = int(layer.get('out_size', layer.get('output_size', 7)))
+        ratio = int(layer.get('sample_num', layer.get('sampling_ratio', 2)))
         return dict(
-            out_size=(int(layer.get('out_size', 7)),) * 2,
-            sampling_ratio=max(int(layer.get('sample_num', 2)), 1),
+            out_size=(out,) * 2,
+            sampling_ratio=max(ratio, 1),
             finest_scale=float(cfg.get('finest_scale', 56)),
             strides=cfg.get('featmap_strides', [4, 8, 16, 32]))
 
@@ -164,3 +166,94 @@ class OrientedStandardRoIHead(nn.Module):
                 max_candidates=int(cfg.get('max_candidates', 2000)))
 
         return jax.vmap(per_image)(decoded, scores)
+
+
+@HEADS.register_module()
+class RotatedStandardRoIHead(OrientedStandardRoIHead):
+    """Rotated Faster R-CNN's roi head (reference
+    ``roi_heads/rotate_standard_roi_head.py``): HBB proposals from the
+    standard RPN, assignment on the gts' CIRCUMSCRIBED horizontal boxes
+    with axis-aligned IoU (``:129-133`` obb2xyxy), axis-aligned RoIAlign
+    pooling, and rotated-box regression targets via DeltaXYWHAHBBoxCoder
+    against the original rotated gts.
+
+    TPU formulation: HBB proposals travel as theta-0 rotated boxes, so the
+    axis-aligned IoU and RoIAlign are the existing rotated kernels at
+    theta=0 — one code path, no separate aligned kernel.
+    """
+
+    @staticmethod
+    def _as_theta0(rois):
+        """(…, 4) xyxy -> (…, 5) theta-0 rotated boxes (pass-through if
+        already 5-column)."""
+        if rois.shape[-1] == 5:
+            return rois
+        cx = (rois[..., 0] + rois[..., 2]) * 0.5
+        cy = (rois[..., 1] + rois[..., 3]) * 0.5
+        w = jnp.clip(rois[..., 2] - rois[..., 0], 0)
+        h = jnp.clip(rois[..., 3] - rois[..., 1], 0)
+        return jnp.stack([cx, cy, w, h, jnp.zeros_like(cx)], -1)
+
+    def __call__(self, feats, rois):
+        # not @nn.compact: parameter creation happens in the parent's
+        # compact __call__ (flax allows one compact frame per module)
+        return super().__call__(feats, self._as_theta0(rois))
+
+    @nn.nowrap
+    def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,
+                    gt_mask, rng):
+        from ...ops.boxes import obb2hbb
+        cfg = (self.train_cfg or {}).get('sampler') or {}
+        num = int(cfg.get('num', 512))
+        pos_fraction = float(cfg.get('pos_fraction', 0.25))
+        add_gt = bool(cfg.get('add_gt_as_proposals', True))
+        head = self.make_bbox_head()
+        num_classes = head.num_classes
+        proposals = self._as_theta0(proposals)
+
+        def single(props, pvalid, gb, gl, gm, key):
+            gt_hbb = obb2hbb(gb, self.version)      # theta-0 circum boxes
+            if add_gt:
+                props = jnp.concatenate([gt_hbb, props], 0)
+                pvalid = jnp.concatenate([gm, pvalid], 0)
+            # axis-aligned IoU assignment (theta-0 boxes on both sides)
+            assign = self.assigner(props, gt_hbb, gl, gm)
+            pos = (assign.assigned_gt_inds >= 0) & pvalid
+            neg = (assign.assigned_gt_inds == -1) & pvalid
+
+            k1, k2 = jax.random.split(key)
+            max_pos = int(num * pos_fraction)
+            pos_key = jnp.where(pos, jax.random.uniform(k1, pos.shape), -1.)
+            pos_rank = jnp.argsort(jnp.argsort(-pos_key))
+            pos_sel = pos & (pos_rank < max_pos)
+            n_pos = jnp.minimum(pos.sum(), max_pos)
+            neg_key = jnp.where(neg, jax.random.uniform(k2, neg.shape), -1.)
+            neg_rank = jnp.argsort(jnp.argsort(-neg_key))
+            neg_sel = neg & (neg_rank < num - n_pos)
+
+            order_key = jnp.where(pos_sel, 2.0 + pos_key,
+                                  jnp.where(neg_sel, 1.0 + neg_key, 0.0))
+            order = jnp.argsort(-order_key)[:num]
+            rois = props[order]
+            sel_pos = pos_sel[order]
+            sel_neg = neg_sel[order]
+            safe = jnp.clip(assign.assigned_gt_inds[order], 0, None)
+            # regression targets against the ORIGINAL rotated gts
+            targets = head.coder.encode(rois, gb[safe])
+            targets = jnp.where(sel_pos[:, None], targets, 0.0)
+            labels = jnp.where(sel_pos, assign.labels[order], num_classes)
+            lw = (sel_pos | sel_neg).astype(jnp.float32)
+            bw = sel_pos.astype(jnp.float32)
+            return rois, labels, lw, targets, bw
+
+        b = proposals.shape[0]
+        keys = jax.random.split(rng, b)
+        rois, labels, lw, bt, bw = jax.vmap(single)(
+            proposals, prop_valid, gt_bboxes, gt_labels, gt_mask, keys)
+        return rois, labels, lw, bt, bw, jnp.maximum(bw.sum(), 1.0)
+
+    @nn.nowrap
+    def get_bboxes(self, rois, cls_score, bbox_pred, cfg=None,
+                   img_shape=None):
+        return super().get_bboxes(self._as_theta0(rois), cls_score,
+                                  bbox_pred, cfg=cfg, img_shape=img_shape)
