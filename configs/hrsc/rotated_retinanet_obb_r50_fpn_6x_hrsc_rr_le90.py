@@ -51,3 +51,9 @@ data = dict(
         pipeline=test_pipeline))
 model = dict(bbox_head=dict(num_classes=1))
 runner = dict(max_epochs=72)
+
+# 6x schedule (reference _base_/schedules/schedule_6x.py)
+lr_config = dict(
+    policy='step', warmup='linear', warmup_iters=500, warmup_ratio=1.0 / 3,
+    step=[48, 66])
+runner = dict(type='EpochBasedRunner', max_epochs=72)

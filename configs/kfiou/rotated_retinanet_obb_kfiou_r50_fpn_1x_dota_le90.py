@@ -1,0 +1,6 @@
+# KFIoU RetinaNet OBB le90 (reference same name).
+_base_ = ['../rotated_retinanet/rotated_retinanet_obb_r50_fpn_1x_dota_le90.py']
+model = dict(
+    bbox_head=dict(
+        type='KFIoURRetinaHead',
+        loss_bbox=dict(_delete_=True, type='KFLoss', loss_weight=5.0)))

@@ -1,0 +1,19 @@
+# Swin-Tiny Oriented R-CNN (reference same name).
+_base_ = ['./oriented_rcnn_r50_fpn_1x_dota_le90.py']
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type='SwinTransformer',
+        embed_dims=96,
+        depths=[2, 2, 6, 2],
+        num_heads=[3, 6, 12, 24],
+        window_size=7,
+        mlp_ratio=4,
+        qkv_bias=True,
+        drop_path_rate=0.2,
+        patch_norm=True,
+        out_indices=(0, 1, 2, 3)),
+    neck=dict(in_channels=[96, 192, 384, 768]))
+optimizer = dict(
+    _delete_=True, type='AdamW', lr=0.0001, betas=(0.9, 0.999),
+    weight_decay=0.05)

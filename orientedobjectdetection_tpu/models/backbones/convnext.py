@@ -51,6 +51,7 @@ class ConvNeXt(nn.Module):
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     frozen_stages: int = -1
     drop_path_rate: float = 0.0     # stochastic depth: identity at inference
+    layer_scale_init_value: float = 1e-6
     gap_before_final_norm: bool = False
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
@@ -70,8 +71,9 @@ class ConvNeXt(nn.Module):
                 x = nn.Conv(dim, (2, 2), strides=(2, 2), dtype=self.dtype,
                             name=f'down_conv_{i}')(x)
             for j in range(depth):
-                x = ConvNeXtBlock(dim, dtype=self.dtype,
-                                  name=f'stage{i}_block{j}')(x)
+                x = ConvNeXtBlock(
+                    dim, layer_scale_init=self.layer_scale_init_value,
+                    dtype=self.dtype, name=f'stage{i}_block{j}')(x)
             if i in self.out_indices:
                 outs.append(nn.LayerNorm(dtype=self.dtype,
                                          name=f'out_norm_{i}')(x))

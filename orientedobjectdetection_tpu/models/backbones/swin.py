@@ -148,12 +148,31 @@ class SwinTransformer(nn.Module):
     frozen_stages: int = -1
     drop_path_rate: float = 0.0
     convert_weights: bool = False
+    # mmdet-style explicit spec (configs may pass these instead of ``arch``;
+    # drop/attn-drop rates and checkpointing flags are accepted for config
+    # parity — inference-identity or handled by jax.checkpoint elsewhere)
+    embed_dims: Optional[int] = None
+    depths: Optional[Tuple[int, ...]] = None
+    num_heads: Optional[Tuple[int, ...]] = None
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    patch_norm: bool = True
+    with_cp: bool = False
+    pretrain_img_size: int = 224
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        spec = ARCHS[self.arch]
+        spec = dict(ARCHS[self.arch])
+        if self.embed_dims is not None:
+            spec['embed_dims'] = self.embed_dims
+        if self.depths is not None:
+            spec['depths'] = tuple(self.depths)
+        if self.num_heads is not None:
+            spec['num_heads'] = tuple(self.num_heads)
         dims = [spec['embed_dims'] * 2 ** i for i in range(4)]
         x = nn.Conv(dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
                     name='patch_embed')(x)

@@ -257,10 +257,12 @@ class ObjectnessLoss2:
     detaches the objectness gate."""
 
     def __init__(self, ver: int = 0, gamma: float = 2.0, alpha: float = 0.25,
+                 obj_loss_weight: float = 1.0,
                  reduction: str = 'mean', loss_weight: float = 1.0):
         self.ver = ver
         self.gamma = gamma
         self.alpha = alpha
+        self.obj_loss_weight = obj_loss_weight
         self.reduction = reduction
         self.loss_weight = loss_weight
 
@@ -269,7 +271,8 @@ class ObjectnessLoss2:
         """obj_pred (..., 1); cls_pred (..., C); labels int
         (num_classes = bg)."""
         fg = (labels < num_classes).astype(obj_pred.dtype)
-        loss_obj = optax_sigmoid_ce(obj_pred[..., 0], fg)
+        loss_obj = self.obj_loss_weight * optax_sigmoid_ce(obj_pred[..., 0],
+                                                           fg)
         gate = obj_pred if self.ver == 0 else jax.lax.stop_gradient(obj_pred)
         gated = cls_pred + jax.nn.log_sigmoid(gate)
         onehot = jax.nn.one_hot(labels, num_classes, dtype=cls_pred.dtype)
@@ -288,3 +291,52 @@ class ObjectnessLoss3(ObjectnessLoss2):
     def __init__(self, **kw):
         kw.setdefault('ver', 1)
         super().__init__(**kw)
+
+
+@LOSSES.register_module()
+class ObjectnessLoss(ObjectnessLoss2):
+    """Alias: ``configs/jy/objectness-loss.py`` names this type but the
+    reference tree never defines it (stale config, like its
+    ``BatchTaskAlignedAssigner`` — SURVEY.md §2.11 note); the coupled
+    ObjectnessLoss2 semantics are the match."""
+    pass
+
+
+@LOSSES.register_module()
+class GIoULoss:
+    """Axis-aligned GIoU loss over (cx, cy, w, h, 0) boxes (mmdet GIoULoss;
+    used by the separate-angle FCOS recipe,
+    ``configs/rotated_fcos/rotated_fcos_sep_angle_*.py``)."""
+
+    def __init__(self, eps: float = 1e-6, reduction: str = 'mean',
+                 loss_weight: float = 1.0):
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None):
+        def to_xyxy(b):
+            return jnp.stack([b[..., 0] - b[..., 2] / 2,
+                              b[..., 1] - b[..., 3] / 2,
+                              b[..., 0] + b[..., 2] / 2,
+                              b[..., 1] + b[..., 3] / 2], -1)
+        p, t = to_xyxy(pred), to_xyxy(target)
+        lt = jnp.maximum(p[..., :2], t[..., :2])
+        rb = jnp.minimum(p[..., 2:], t[..., 2:])
+        wh = jnp.clip(rb - lt, 0)
+        inter = wh[..., 0] * wh[..., 1]
+        union = jnp.maximum(pred[..., 2] * pred[..., 3] +
+                            target[..., 2] * target[..., 3] - inter,
+                            self.eps)
+        iou = inter / union
+        # smallest enclosing box
+        elt = jnp.minimum(p[..., :2], t[..., :2])
+        erb = jnp.maximum(p[..., 2:], t[..., 2:])
+        ewh = jnp.clip(erb - elt, 0)
+        enc = jnp.maximum(ewh[..., 0] * ewh[..., 1], self.eps)
+        giou = iou - (enc - union) / enc
+        loss = 1 - giou
+        if weight is not None and weight.ndim > pred.ndim - 1:
+            weight = weight.mean(-1)
+        return self.loss_weight * reduce_loss(loss, weight, self.reduction,
+                                              avg_factor)

@@ -75,15 +75,24 @@ class YOLOv8PAFPN(nn.Module):
 
 @NECKS.register_module()
 class YOLOv8PAFPN_E(YOLOv8PAFPN):
-    """PAFPN with an extra stride-2 output level appended (reference
-    ``necks/pafpn.py`` ``YOLOv8PAFPN_E`` variant)."""
+    """PAFPN with extra stride-2 output level(s) appended (reference
+    ``necks/pafpn.py`` ``YOLOv8PAFPN_E``; jy's expanded-neck prototype).
+
+    ``expanded_down_feat_channels`` sets the per-extra-level channel count
+    (widen_factor applied, like the regular levels); defaults to the last
+    level's width."""
     num_extra_levels: int = 1
+    expanded_down_feat_channels: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, feats):
         outs = list(YOLOv8PAFPN.__call__(self, feats))
-        for i in range(self.num_extra_levels):
-            outs.append(ConvModule(outs[-1].shape[-1], 3, stride=2,
+        extra_ch = self.expanded_down_feat_channels
+        n_extra = len(extra_ch) if extra_ch else self.num_extra_levels
+        for i in range(n_extra):
+            ch = make_divisible(extra_ch[i], self.widen_factor) \
+                if extra_ch else outs[-1].shape[-1]
+            outs.append(ConvModule(ch, 3, stride=2,
                                    dtype=self.dtype, name=f'extra_{i}')(
                                        outs[-1]))
         return tuple(outs)

@@ -89,3 +89,35 @@ class RotatedShared2FCBBoxHead(nn.Module):
         bp = bbox_pred.reshape(b, r, self.num_classes, 5)
         return self.coder.decode(rois[:, :, None, :], bp,
                                  max_shape=img_shape)
+
+
+@HEADS.register_module()
+class RotatedKFIoUShared2FCBBoxHead(RotatedShared2FCBBoxHead):
+    """Shared-2FC bbox head trained with the KFIoU loss (reference
+    ``bbox_heads/kfiou_rotate_bbox_head.py`` via
+    ``configs/kfiou/roi_trans_kfiou_ln_*.py``): KFLoss consumes the encoded
+    deltas AND the decoded pred/target boxes."""
+
+    def loss(self, cls_score, bbox_pred, rois, labels, label_weights,
+             bbox_targets, bbox_weights, num_pos):
+        cls_loss_fn = _build(LOSSES, dict(
+            self.loss_cls or dict(type='CrossEntropyLoss',
+                                  loss_weight=1.0)))
+        bbox_loss_fn = _build(LOSSES, dict(
+            self.loss_bbox or dict(type='KFLoss', loss_weight=1.0)))
+        loss_cls = cls_loss_fn(cls_score, labels, weight=label_weights,
+                               avg_factor=jnp.maximum(label_weights.sum(),
+                                                      1.0))
+        if not self.reg_class_agnostic:
+            b, r = bbox_pred.shape[:2]
+            bp = bbox_pred.reshape(b, r, self.num_classes, 5)
+            safe = jnp.clip(labels, 0, self.num_classes - 1)
+            bbox_pred = jnp.take_along_axis(
+                bp, safe[..., None, None].repeat(5, -1), axis=2)[..., 0, :]
+        pred_decode = self.coder.decode(rois, bbox_pred)
+        targets_decode = self.coder.decode(rois, bbox_targets)
+        loss_bbox = bbox_loss_fn(bbox_pred, bbox_targets,
+                                 weight=bbox_weights, avg_factor=num_pos,
+                                 pred_decode=pred_decode,
+                                 targets_decode=targets_decode)
+        return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)

@@ -24,6 +24,8 @@ CONFIGS = [
     'rotated_retinanet/rotated_retinanet_obb_r50_fpn_1x_dota_le135.py',
     'rotated_atss/rotated_atss_obb_r50_fpn_1x_dota_le90.py',
     'rotated_fcos/rotated_fcos_r50_fpn_1x_dota_le90.py',
+    'rotated_fcos/rotated_fcos_sep_angle_r50_fpn_1x_dota_le90.py',
+    'jy/expaned-neck-msdcn-head.py',
     'csl/rotated_retinanet_obb_csl_gaussian_r50_fpn_fp16_1x_dota_le90.py',
     'csl/rotated_fcos_csl_gaussian_r50_fpn_1x_dota_le90.py',
     'gwd/rotated_retinanet_hbb_gwd_r50_fpn_1x_dota_oc.py',

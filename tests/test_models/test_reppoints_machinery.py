@@ -76,3 +76,43 @@ def test_sas_assigner_positive_inside():
     assert assigned[0] == 0            # matching set is positive
     assert (assigned[2:] == -1).all()  # far sets are negatives
     assert np.asarray(res.labels)[0] == 3
+
+
+def test_kfiou_shared2fc_bbox_head_loss():
+    """RotatedKFIoUShared2FCBBoxHead (roi_trans_kfiou configs): loss is
+    finite and gradients flow through the KFLoss decode path."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from orientedobjectdetection_tpu.models.roi_heads.bbox_heads import \
+        RotatedKFIoUShared2FCBBoxHead
+
+    head = RotatedKFIoUShared2FCBBoxHead(
+        num_classes=4, in_channels=8, fc_out_channels=32,
+        reg_class_agnostic=False,
+        bbox_coder=dict(type='DeltaXYWHAOBBoxCoder', angle_range='le90',
+                        norm_factor=None, edge_swap=True, proj_xy=True,
+                        target_means=(0., 0., 0., 0., 0.),
+                        target_stds=(0.05, 0.05, 0.1, 0.1, 0.5)),
+        loss_cls=dict(type='CrossEntropyLoss', use_sigmoid=False),
+        loss_bbox=dict(type='KFLoss', fun='ln', loss_weight=5.0))
+    B, R = 1, 8
+    feats = jnp.ones((B, R, 7, 7, 8))
+    variables = jax.jit(head.init)(jax.random.PRNGKey(0), feats)
+    rois = jnp.tile(jnp.asarray([[30., 30., 20., 10., 0.2]]), (B, R, 1))
+    labels = jnp.zeros((B, R), jnp.int32).at[:, 4:].set(4)
+    lw = jnp.ones((B, R))
+    bt = jnp.zeros((B, R, 5)).at[..., 2:4].set(0.1)
+    bw = jnp.zeros((B, R)).at[:, :4].set(1.0)
+
+    def total(v):
+        cls_score, bbox_pred = head.apply(v, feats)
+        losses = head.loss(cls_score, bbox_pred, rois, labels, lw, bt, bw,
+                           jnp.asarray(4.0))
+        return sum(jnp.asarray(x) for x in losses.values())
+
+    tot, grads = jax.jit(jax.value_and_grad(total))(variables)
+    assert np.isfinite(float(tot))
+    gnorm = float(sum(jnp.sum(x * x)
+                      for x in jax.tree.leaves(grads['params'])) ** 0.5)
+    assert np.isfinite(gnorm) and gnorm > 0
