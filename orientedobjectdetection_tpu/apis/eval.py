@@ -39,8 +39,16 @@ def batched_eval(bundle: DetectorBundle, dataset,
                  batch_size: int = 8,
                  max_images: Optional[int] = None,
                  num_workers: int = 8,
-                 progress: bool = True) -> List[List[np.ndarray]]:
+                 progress: bool = True,
+                 collect_dir: Optional[str] = None) -> List[List[np.ndarray]]:
     """Run inference over a dataset with a fixed-shape batched program.
+
+    Multi-process (`jax.process_count() > 1`): each process evaluates an
+    interleaved slice of the dataset and partial results are gathered
+    through ``collect_dir`` (a shared filesystem path, default
+    ``<tempdir>/oodtpu_eval``) — the equivalent of mmdet's
+    ``multi_gpu_test`` + ``collect_results_cpu`` (reference
+    ``tools/test.py:14``). Every process returns the full result list.
 
     Returns the reference's result format: a list (per image) of per-class
     (n, 6) numpy arrays.
@@ -50,6 +58,21 @@ def batched_eval(bundle: DetectorBundle, dataset,
     pad = cfg.get('pad_size') or (1024, 1024)
     norm = _default_norm(cfg)
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
+
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        my = [i for i in range(n) if i % n_proc == jax.process_index()]
+        part = _eval_indices(bundle, dataset, my, batch_size, num_workers,
+                             pad, norm, progress)
+        return _collect_results(part, my, n, collect_dir)
+    return _eval_indices(bundle, dataset, list(range(n)), batch_size,
+                         num_workers, pad, norm, progress)
+
+
+def _eval_indices(bundle, dataset, idx, batch_size, num_workers, pad, norm,
+                  progress):
+    import os.path as osp
+    n = len(idx)
 
     def load(i):
         info = dataset.data_infos[i]
@@ -64,7 +87,6 @@ def batched_eval(bundle: DetectorBundle, dataset,
     results: List[List[np.ndarray]] = []
     pool = ThreadPoolExecutor(max_workers=num_workers)
     try:
-        idx = list(range(n))
         batches = [idx[i:i + batch_size]
                    for i in range(0, len(idx), batch_size)]
         # prefetch: load batch b+1 while batch b runs on device
@@ -89,6 +111,32 @@ def batched_eval(bundle: DetectorBundle, dataset,
     finally:
         pool.shutdown(wait=False)
     return results
+
+
+def _collect_results(part, my_indices, total, collect_dir=None):
+    """File-based cross-process gather (mmdet ``collect_results_cpu``):
+    each process pickles its partial list to a shared dir; everyone loads
+    all parts and re-interleaves. A barrier on a tiny allgather keeps
+    readers behind writers."""
+    import os
+    import pickle
+    import tempfile
+    collect_dir = collect_dir or os.path.join(tempfile.gettempdir(),
+                                              'oodtpu_eval')
+    os.makedirs(collect_dir, exist_ok=True)
+    rank = jax.process_index()
+    with open(os.path.join(collect_dir, f'part_{rank}.pkl'), 'wb') as f:
+        pickle.dump((my_indices, part), f)
+    # device-backed barrier: psum of 1 across processes
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices('oodtpu_eval_gather')
+    merged: List = [None] * total
+    for r in range(jax.process_count()):
+        with open(os.path.join(collect_dir, f'part_{r}.pkl'), 'rb') as f:
+            indices, res = pickle.load(f)
+        for i, item in zip(indices, res):
+            merged[i] = item
+    return merged
 
 
 def eval_from_state(bundle: DetectorBundle, variables, dataset,

@@ -32,13 +32,22 @@ from ..utils.config import Config
 class DetectorBundle:
     """Built detector + params + compiled inference fn."""
 
-    def __init__(self, cfg, detector, variables, dtype=jnp.float32):
+    def __init__(self, cfg, detector, variables, dtype=jnp.float32,
+                 mesh=None):
         self.cfg = cfg
         self.detector = detector
         self.variables = variables
         self.dtype = dtype
         self.num_classes = int(cfg.model['bbox_head']['num_classes'])
         self.CLASSES = None
+        # data-parallel eval over a device mesh (reference multi_gpu_test):
+        # batch axis sharded, params replicated; XLA runs each shard on its
+        # device, no collectives needed for inference.
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+            self._data_shard = batch_sharding(mesh)
+            self.variables = jax.device_put(variables, replicated(mesh))
         # variables are an ARGUMENT of the jitted fn (not a closure): they
         # can be swapped (in-training eval on live params) without stale
         # constants or a retrace.
@@ -50,11 +59,14 @@ class DetectorBundle:
         return self.detector.bboxes_from_outputs(outputs)
 
     def __call__(self, images):
+        if self.mesh is not None:
+            images = jax.device_put(images, self._data_shard)
         return self._infer(self.variables, images)
 
 
 def init_detector(config, checkpoint: Optional[str] = None,
-                  dtype=jnp.float32, seed: int = 0) -> DetectorBundle:
+                  dtype=jnp.float32, seed: int = 0,
+                  mesh=None) -> DetectorBundle:
     if isinstance(config, str):
         config = Config.fromfile(config)
     detector = build_detector(dict(config.model), dtype=dtype)
@@ -71,7 +83,7 @@ def init_detector(config, checkpoint: Optional[str] = None,
         variables = {'params': restored['params']}
         if restored.get('batch_stats'):
             variables['batch_stats'] = restored['batch_stats']
-    return DetectorBundle(config, detector, variables, dtype)
+    return DetectorBundle(config, detector, variables, dtype, mesh=mesh)
 
 
 def _prep_image(img, img_norm_cfg=None):

@@ -128,6 +128,8 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
             batch_size=int(eval_cfg.get('samples_per_gpu', 8)),
             max_images=eval_cfg.get('max_images'))
 
+    ckpt_interval = int(dict(cfg.get('checkpoint_config')
+                             or {}).get('interval', 1))   # in epochs
     best_map = -1.0
     step = int(state.step)
     t0 = time.time()
@@ -150,7 +152,8 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
                                    if isinstance(v, float)))
                 if step % steps_per_epoch == 0:
                     epoch = step // steps_per_epoch
-                    if jax.process_index() == 0:
+                    if jax.process_index() == 0 and \
+                            epoch % ckpt_interval == 0:
                         save_checkpoint(work_dir, jax.device_get(state),
                                         step)
                     if eval_dataset is not None and \

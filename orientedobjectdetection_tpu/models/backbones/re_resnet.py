@@ -63,6 +63,10 @@ class ReConv(nn.Module):
             return out
         # stride goes INTO the conv (a full-res conv + [::stride] slice
         # wastes stride^2 x the MXU work)
+        # ring permutation, NOT bilinear tap rotation: for a 3x3 kernel the
+        # measured 45-degree equivariance error of the permutation is LOWER
+        # (bilinear clips corner mass out of the grid) — see
+        # tests/test_models/test_equivariance.py
         oc = ORConv2d(self.out_base_channels, kernel_size=3,
                       in_orientations=self.in_orientations,
                       num_orientations=8, use_bias=self.use_bias,

@@ -45,6 +45,15 @@ class ORConv2d(nn.Module):
     Matches reference ``orconv.py`` with arf_config=(1, 8) (single input
     orientation) and (8, 8) (orientation-carrying input: taps rotate AND
     orientation channels roll).
+
+    ``interp=True`` rotates the 3x3 taps with the analytic bilinear
+    interpolation operator (``jy_modules.rotation_interp_matrix``) instead
+    of the ring permutation. At 90-degree multiples the two are identical;
+    at 45-degree multiples interpolation matches e2cnn's resampled
+    steerable basis (reference ``models/utils/enn.py``) far more closely
+    than nearest-neighbor tap shuffling — used by the ReDet backbone
+    (``ReConv``); S2ANet's ODM keeps the permutation (mmcv
+    ``active_rotated_filter`` semantics).
     """
     out_channels: int
     kernel_size: int = 3
@@ -52,6 +61,7 @@ class ORConv2d(nn.Module):
     num_orientations: int = 8
     use_bias: bool = True
     stride: int = 1
+    interp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,10 +77,21 @@ class ORConv2d(nn.Module):
             (k * k, cin_base, self.in_orientations, self.out_channels),
             jnp.float32)
         perms = _rotation_perms(self.num_orientations)
+        if self.interp:
+            from .backbones.jy_modules import rotation_interp_matrix
+            step = 8 // self.num_orientations
+            angles = jnp.arange(self.num_orientations) * \
+                (step * jnp.pi / 4)
+            interp_ops = rotation_interp_matrix(angles)    # (num_or, 9, 9)
 
         rotated = []
         for o in range(self.num_orientations):
-            wo = w[perms[o]]                      # rotate taps
+            if self.interp:
+                # out tap p = sum_q M[p, q] * src tap q (M == perm matrix
+                # at 90-degree multiples; bilinear at 45-degree ones)
+                wo = jnp.einsum('pq,qbio->pbio', interp_ops[o], w)
+            else:
+                wo = w[perms[o]]                  # rotate taps
             if self.in_orientations > 1:
                 # roll input-orientation channels by o
                 shift = o * (self.in_orientations // self.num_orientations)

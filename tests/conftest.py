@@ -20,3 +20,22 @@ if 'xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+
+# ---- slow-tier gating: `pytest tests/` stays fast by default; run the
+# end-to-end convergence tier with --runslow (or RUN_SLOW=1) ----------------
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption('--runslow', action='store_true', default=False,
+                     help='run slow end-to-end tests (synth convergence)')
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption('--runslow') or os.environ.get('RUN_SLOW'):
+        return
+    skip = pytest.mark.skip(reason='slow tier: pass --runslow / RUN_SLOW=1')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

@@ -119,3 +119,27 @@ def test_graft_dryrun_multichip():
     sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..'))
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8-device mesh')
+def test_mesh_eval_matches_single_device():
+    """Data-parallel inference (DetectorBundle(mesh=...), the reference's
+    multi_gpu_test) must produce bit-identical detections to the unsharded
+    bundle — inference has no cross-image math, so sharding the batch axis
+    is a pure layout change."""
+    from orientedobjectdetection_tpu.apis.inference import DetectorBundle
+    from orientedobjectdetection_tpu.parallel.mesh import make_mesh
+    from orientedobjectdetection_tpu.utils.config import Config
+
+    det = _tiny_detector()
+    images = _batch(8)['images']
+    variables = jax.jit(det.init)(jax.random.PRNGKey(0), images[:1])
+    cfg = Config(dict(model=dict(bbox_head=dict(num_classes=4)),
+                      pad_size=(64, 64), data=dict()))
+    single = DetectorBundle(cfg, det, variables)
+    sharded = DetectorBundle(cfg, det, variables, mesh=make_mesh())
+    d0, l0, v0 = (np.asarray(x) for x in single(images))
+    d1, l1, v1 = (np.asarray(x) for x in sharded(images))
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(l0[v0], l1[v1])
+    np.testing.assert_allclose(d0[v0], d1[v1], rtol=1e-3, atol=1e-3)

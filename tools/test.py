@@ -25,6 +25,9 @@ def parse_args():
     p.add_argument('--max-images', type=int, default=None)
     p.add_argument('--batch-size', type=int, default=8,
                    help='images per compiled inference batch')
+    p.add_argument('--data-parallel', action='store_true',
+                   help='shard each batch over all local devices '
+                        '(reference multi_gpu_test)')
     return p.parse_args()
 
 
@@ -38,7 +41,14 @@ def main():
 
     cfg = Config.fromfile(args.config)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    bundle = init_detector(cfg, args.checkpoint, dtype=dtype)
+    mesh = None
+    if args.data_parallel:
+        from orientedobjectdetection_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        if args.batch_size % mesh.devices.size:
+            raise SystemExit(f'--batch-size must be a multiple of the '
+                             f'device count ({mesh.devices.size})')
+    bundle = init_detector(cfg, args.checkpoint, dtype=dtype, mesh=mesh)
 
     split = 'test' if args.format_only else 'val'
     dataset = build_dataset(dict(cfg.data[split], test_mode=True,

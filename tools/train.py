@@ -22,6 +22,9 @@ def parse_args():
     p.add_argument('--max-steps', type=int, default=None)
     p.add_argument('--bf16', action='store_true',
                    help='bf16 compute (fp32 params)')
+    p.add_argument('--profile-dir', default=None,
+                   help='write a jax.profiler trace (open with TensorBoard '
+                        'or xprof) covering the whole run')
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
 
@@ -47,9 +50,17 @@ def main():
     work_dir = args.work_dir or osp.join(
         'work_dirs', osp.splitext(osp.basename(args.config))[0])
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    train_detector(cfg, work_dir, resume=args.auto_resume,
-                   resume_from=args.resume_from,
-                   max_steps=args.max_steps, dtype=dtype, seed=args.seed)
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+    try:
+        train_detector(cfg, work_dir, resume=args.auto_resume,
+                       resume_from=args.resume_from,
+                       max_steps=args.max_steps, dtype=dtype, seed=args.seed)
+    finally:
+        if args.profile_dir:
+            import jax
+            jax.profiler.stop_trace()
 
 
 if __name__ == '__main__':
