@@ -46,8 +46,30 @@ def main():
     from orientedobjectdetection_tpu.models import build_detector
     from orientedobjectdetection_tpu.ops.nms import nms_rotated
 
-    det = build_detector(_retina_cfg(), dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
+
+    # ---- standalone rotated NMS kernel (FIRST: measured on a clean
+    # device — with model weights/activations resident, per-call latency on
+    # this platform degrades ~50x and would measure allocator state, not
+    # the kernel; the in-model NMS cost is captured separately by
+    # nms_decode_share_of_e2e below) ---------------------------------------
+    n = 2000
+    k1, k2 = jax.random.split(rng)
+    nms_boxes = jnp.concatenate([
+        jax.random.uniform(k1, (n, 2)) * 1024,
+        jax.random.uniform(k2, (n, 2)) * 60 + 4,
+        (jax.random.uniform(k1, (n, 1)) - 0.5) * 3,
+    ], -1)
+    nms_scores = jax.random.uniform(k2, (n,))
+
+    @jax.jit
+    def run_nms(boxes, scores):
+        return nms_rotated(boxes, scores, 0.1)[0]
+
+    t_nms = _timed(run_nms, nms_boxes, nms_scores, iters=30)
+    mboxes = n / t_nms / 1e6
+
+    det = build_detector(_retina_cfg(), dtype=jnp.bfloat16)
     images = jax.random.normal(rng, (BATCH, 1024, 1024, 3), jnp.bfloat16)
     variables = jax.jit(det.init)(rng, images[:1])
 
@@ -94,23 +116,6 @@ def main():
 
     t_train = _timed(train_once, tb, iters=5, warmup=2)
     train_ips = TRAIN_BATCH / t_train
-
-    # ---- standalone rotated NMS kernel ------------------------------------
-    n = 2000
-    k1, k2 = jax.random.split(rng)
-    boxes = jnp.concatenate([
-        jax.random.uniform(k1, (n, 2)) * 1024,
-        jax.random.uniform(k2, (n, 2)) * 60 + 4,
-        (jax.random.uniform(k1, (n, 1)) - 0.5) * 3,
-    ], -1)
-    scores = jax.random.uniform(k2, (n,))
-
-    @jax.jit
-    def run_nms(boxes, scores):
-        return nms_rotated(boxes, scores, 0.1)[0]
-
-    t_nms = _timed(run_nms, boxes, scores)
-    mboxes = n / t_nms / 1e6
 
     print(json.dumps({
         'metric': 'retinanet_r50_1024_infer_imgs_per_sec',

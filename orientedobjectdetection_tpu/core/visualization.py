@@ -26,17 +26,31 @@ def imshow_det_rbboxes(img, result: List[np.ndarray],
                        version: str = 'le90',
                        palette=None,
                        out_file: Optional[str] = None):
-    """img: path or BGR ndarray; result: per-class list of (n, 6) dets."""
+    """img: path or BGR ndarray; result: per-class list of (n, 6) dets.
+
+    ``palette`` may be an explicit color list or a name ('dota', 'sar',
+    'hrsc', 'hrsc_classwise', 'random') matching the reference demo CLIs
+    (``demo/image_demo.py --palette``)."""
     if isinstance(img, str):
         img = cv2.imread(img, cv2.IMREAD_COLOR)
     img = img.copy()
+    if isinstance(palette, str):
+        if palette == 'random':
+            rng = np.random.default_rng(42)
+            palette = [tuple(int(v) for v in rng.integers(0, 255, 3))
+                       for _ in range(max(len(result), 1))]
+        elif palette in ('sar', 'hrsc'):
+            palette = [(0, 255, 0)]
+        else:                                   # dota / hrsc_classwise
+            palette = DOTA_PALETTE
     palette = palette or DOTA_PALETTE
     for cls, dets in enumerate(result):
         dets = np.asarray(dets, np.float32).reshape(-1, 6)
         dets = dets[dets[:, 5] >= score_thr]
         if len(dets) == 0:
             continue
-        color = palette[cls % len(palette)]
+        # cv2 >= 5 rejects numpy scalars in color tuples
+        color = tuple(int(v) for v in palette[cls % len(palette)])
         polys = obb2poly_np(dets, version)
         for p in polys:
             pts = p[:8].reshape(4, 2).astype(np.int32)

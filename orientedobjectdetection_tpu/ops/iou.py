@@ -38,29 +38,30 @@ def _box_corners(boxes):
     return obb2poly(boxes).reshape(boxes.shape[:-1] + (4, 2))
 
 
-def _intersect_area(boxes1, boxes2):
-    """Intersection area for broadcast-matched (..., 5) box tensors.
+def _intersect_area_rel(rel1, ctr1, rel2, ctr2):
+    """Intersection area from per-box relative corners.
+
+    Args:
+        rel1, rel2: (..., 4, 2) CCW corners about each box's own center —
+            computed ONCE per box by the callers, so the cos/sin corner
+            geometry is O(N + M), not O(N * M): for an NMS pair mask at
+            N=2000 that removes ~8M transcendental evaluations per program.
+        ctr1, ctr2: (..., 2) box centers.
 
     Green's-theorem formulation: area = 1/2 * sum over the 8 edges (4 per
     box) of cross(p(t0), p(t1)), where [t0, t1] is the part of the edge
     inside the other box (Liang-Barsky clip against its 4 half-planes).
     Both corner rings are CCW (obb2poly order), so contributions add up to
     the positive intersection area with no ordering step.
+
+    fp32 conditioning: each pair is evaluated in a frame centered on the
+    pair midpoint (cheap per-pair adds — the sincos stays hoisted), which
+    removes cancellation when box extents are small relative to image
+    coordinates (e.g. clamped 1e-3 boxes at x~1000).
     """
-    # Break boundary ties: coincident edges traversed in the SAME direction
-    # (e.g. identical boxes) would be counted by both passes, doubling the
-    # area. Shrinking one operand by a relative 1e-6 removes all coincident-
-    # boundary cases at O(1e-6) relative area error; opposite-direction
-    # coincidences (touching boxes) cancel exactly either way.
-    shrink = jnp.asarray([1.0, 1.0, 1.0 - 1e-6, 1.0 - 1e-6, 1.0],
-                         boxes2.dtype)
-    # Center each pair at the origin: removes fp32 cancellation when box
-    # extents are small relative to image coordinates (e.g. clamped 1e-3
-    # boxes at x~1000).
-    mid = 0.5 * (boxes1[..., :2] + boxes2[..., :2])
-    offset = jnp.concatenate([mid, jnp.zeros_like(boxes1[..., 2:])], -1)
-    c1 = _box_corners(boxes1 - offset)   # (..., 4, 2)
-    c2 = _box_corners(boxes2 * shrink - offset)
+    u = 0.5 * (ctr1 - ctr2)              # (..., 2) pair-midpoint offset
+    c1 = rel1 + u[..., None, :]          # (..., 4, 2) in the pair frame
+    c2 = rel2 - u[..., None, :]
 
     def edge_contributions(corners_a, corners_b):
         """Sum of cross(start, end) over sub-segments of A's edges inside B."""
@@ -118,13 +119,30 @@ def box_iou_rotated(boxes1, boxes2, mode: str = 'iou',
     Differentiable; also serves as ``diff_iou_rotated_2d``.
     """
     assert mode in ('iou', 'iof')
+    # Break boundary ties: coincident edges traversed in the SAME direction
+    # (e.g. identical boxes) would be counted by both passes, doubling the
+    # area. Shrinking one operand by a relative 1e-6 removes all coincident-
+    # boundary cases at O(1e-6) relative area error; opposite-direction
+    # coincidences (touching boxes) cancel exactly either way.
+    shrink = jnp.asarray([1.0, 1.0, 1.0 - 1e-6, 1.0 - 1e-6, 1.0],
+                         boxes2.dtype)
+    # per-box relative corners (sincos hoisted out of the pair product)
+    zero2 = jnp.zeros_like(boxes1[..., :2])
+    rel1 = _box_corners(
+        jnp.concatenate([zero2, boxes1[..., 2:]], -1))
+    b2s = boxes2 * shrink
+    rel2 = _box_corners(
+        jnp.concatenate([jnp.zeros_like(b2s[..., :2]), b2s[..., 2:]], -1))
+    ctr1, ctr2 = boxes1[..., :2], boxes2[..., :2]
     if aligned:
         b1, b2 = boxes1, boxes2
     else:
+        rel1, ctr1 = rel1[..., :, None, :, :], ctr1[..., :, None, :]
+        rel2, ctr2 = rel2[..., None, :, :, :], ctr2[..., None, :, :]
         b1 = boxes1[..., :, None, :]
         b2 = boxes2[..., None, :, :]
         b1, b2 = jnp.broadcast_arrays(b1, b2)
-    inter = _intersect_area(b1, b2)
+    inter = _intersect_area_rel(rel1, ctr1, rel2, ctr2)
     area1 = box_area(b1)
     area2 = box_area(b2)
     # physical bound (degenerate/parallel-edge numerical safety)

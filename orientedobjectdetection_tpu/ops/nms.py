@@ -71,10 +71,12 @@ def _upper_pair_mask(boxes, iou_fn, iou_thr, block=None):
     """
     n = boxes.shape[0]
     if block is None:
-        # measured on v5e (N=2000, R50 e2e bench): 16 -> 127 imgs/s,
-        # 64 -> 86, 256 -> 64. Small row blocks keep the rotated-IoU
-        # intermediates resident in VMEM; compile scales with n/block, so
-        # small-N call sites (tests, RPN per-level) use coarser blocks.
+        # measured on v5e (N=2000, R50 e2e bench, post-sincos-hoist):
+        # block 16 -> 135.8 imgs/s, 64 -> 84.9, 256 -> 71. Small row blocks
+        # keep the rotated-IoU intermediates VMEM-resident inside the fused
+        # e2e program (model weights + activations already occupy HBM);
+        # large blocks only win on an otherwise-empty device (103 Mboxes/s
+        # standalone at 256), which is not the production condition.
         block = 16 if n >= 1024 else 64
     nb = -(-n // block)
     pad = nb * block - n

@@ -90,7 +90,7 @@ def _poly_area_ccw(ring):
 
 def _convex_clip_area(ring_a, ring_b):
     """Green's-theorem intersection area of two padded CCW rings
-    (Ka, 2) x (Kb, 2) (same formulation as ops.iou._intersect_area)."""
+    (Ka, 2) x (Kb, 2) (same formulation as ops.iou._intersect_area_rel)."""
 
     def contributions(a_ring, b_ring):
         a = a_ring
