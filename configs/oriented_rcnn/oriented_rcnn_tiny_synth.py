@@ -1,14 +1,22 @@
-# Tiny synthetic-data config for CI / smoke training (R18, 2 classes,
-# 256px). Not part of the reference zoo; used by tools tests.
-_base_ = ['./rotated_retinanet_obb_r50_fpn_1x_dota_le90.py']
+# Tiny synthetic-data Oriented R-CNN (R18, 2 classes, 256 px) — the
+# two-stage analog of rotated_retinanet_tiny_synth.py: proves RPN sampling,
+# rotated RoIAlign and the RCNN head converge end-to-end (RESULTS.md).
+_base_ = ['./oriented_rcnn_r50_fpn_1x_dota_le90.py']
 
 model = dict(
-    backbone=dict(depth=18, frozen_stages=-1),
+    backbone=dict(depth=18, frozen_stages=-1, init_cfg=None),
     neck=dict(in_channels=[64, 128, 256, 512], out_channels=64),
-    bbox_head=dict(num_classes=2, in_channels=64, feat_channels=64,
-                   stacked_convs=1),
-    test_cfg=dict(nms_pre=500, min_bbox_size=0, score_thr=0.05,
-                  nms=dict(iou_thr=0.1), max_per_img=100))
+    rpn_head=dict(in_channels=64, feat_channels=64),
+    roi_head=dict(
+        bbox_roi_extractor=dict(out_channels=64),
+        bbox_head=dict(in_channels=64, fc_out_channels=256, num_classes=2)),
+    train_cfg=dict(
+        rpn_proposal=dict(nms_pre=512, max_per_img=256),
+        rcnn=dict(sampler=dict(num=128))),
+    test_cfg=dict(
+        rpn=dict(nms_pre=512, max_per_img=256),
+        rcnn=dict(nms_pre=256, score_thr=0.05, nms=dict(iou_thr=0.1),
+                  max_per_img=100)))
 
 data_root = '/tmp/synth_dota/'
 img_norm_cfg = dict(
@@ -59,7 +67,7 @@ data = dict(
         img_prefix=data_root + 'trainval/images/',
         pipeline=test_pipeline))
 pad_size = (256, 256)
-optimizer = dict(lr=0.01)
+optimizer = dict(lr=0.005)
 lr_config = dict(step=[40, 46])
 checkpoint_config = dict(interval=10)
 evaluation = dict(interval=10, metric='mAP')

@@ -38,7 +38,12 @@ class DetectorBundle:
         self.detector = detector
         self.variables = variables
         self.dtype = dtype
-        self.num_classes = int(cfg.model['bbox_head']['num_classes'])
+        head = cfg.model.get('bbox_head')
+        if head is None:                         # two-stage / cascade
+            head = cfg.model['roi_head']['bbox_head']
+            if isinstance(head, (list, tuple)):
+                head = head[-1]
+        self.num_classes = int(head['num_classes'])
         self.CLASSES = None
         # data-parallel eval over a device mesh (reference multi_gpu_test):
         # batch axis sharded, params replicated; XLA runs each shard on its

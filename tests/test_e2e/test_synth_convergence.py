@@ -24,13 +24,16 @@ REPO = osp.join(osp.dirname(__file__), '..', '..')
 sys.path.insert(0, REPO)
 sys.path.insert(0, osp.join(REPO, 'tools', 'data', 'synth'))
 
-CFG = osp.join(REPO, 'configs', 'rotated_retinanet',
-               'rotated_retinanet_tiny_synth.py')
+CONFIGS = {
+    'retinanet': ('rotated_retinanet', 'rotated_retinanet_tiny_synth.py'),
+    'oriented_rcnn': ('oriented_rcnn', 'oriented_rcnn_tiny_synth.py'),
+}
 
 
-def _make_cfg(root, max_gt=16):
+def _make_cfg(root, family='retinanet', max_gt=16):
     from orientedobjectdetection_tpu.utils import Config
-    cfg = Config.fromfile(CFG)
+    d, f = CONFIGS[family]
+    cfg = Config.fromfile(osp.join(REPO, 'configs', d, f))
     for split in ('train', 'val', 'test'):
         cfg.data[split]['ann_file'] = osp.join(root, 'trainval', 'annfiles')
         cfg.data[split]['img_prefix'] = osp.join(root, 'trainval', 'images')
@@ -38,7 +41,8 @@ def _make_cfg(root, max_gt=16):
 
 
 @pytest.mark.slow
-def test_synth_convergence(tmp_path):
+@pytest.mark.parametrize('family', list(CONFIGS))
+def test_synth_convergence(tmp_path, family):
     from generate_synth import generate_synth
     from orientedobjectdetection_tpu.apis.eval import batched_eval
     from orientedobjectdetection_tpu.apis.inference import DetectorBundle
@@ -47,7 +51,7 @@ def test_synth_convergence(tmp_path):
 
     root = str(tmp_path / 'synth')
     generate_synth(root, num_images=64, size=256, seed=0)
-    cfg = _make_cfg(root)
+    cfg = _make_cfg(root, family)
     cfg.data['samples_per_gpu'] = 4
     work_dir = str(tmp_path / 'wd')
 
