@@ -70,7 +70,8 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
     init_images = jnp.asarray(sample['images'][:1])
 
     sched = build_lr_schedule(dict(cfg.lr_config),
-                              float(cfg.optimizer['lr']), steps_per_epoch)
+                              float(cfg.optimizer['lr']), steps_per_epoch,
+                              total_steps=total_steps)
     variables = detector.init(rng, init_images)
     frozen = int(cfg.model.get('backbone', {}).get('frozen_stages', -1))
     grad_clip = cfg.get('optimizer_config', {}).get('grad_clip')

@@ -30,8 +30,11 @@ class TrainState(NamedTuple):
 
 
 def build_lr_schedule(lr_config: dict, base_lr: float,
-                      steps_per_epoch: int) -> Callable:
-    """Step-decay schedule with linear warmup (reference lr_config)."""
+                      steps_per_epoch: int,
+                      total_steps: int = None) -> Callable:
+    """Step-decay / cosine schedule with linear warmup (reference
+    lr_config). ``total_steps`` feeds cosine annealing when the config does
+    not pin ``max_steps`` (mmcv infers it from the runner)."""
     policy = lr_config.get('policy', 'step')
     warmup_iters = int(lr_config.get('warmup_iters', 0) or 0)
     warmup_ratio = float(lr_config.get('warmup_ratio', 1.0))
@@ -46,7 +49,8 @@ def build_lr_schedule(lr_config: dict, base_lr: float,
                 factor = factor * jnp.where(step >= m, gamma, 1.0)
             return base_lr * factor
     elif policy in ('CosineAnnealing', 'cosine'):
-        total = int(lr_config['max_steps'])
+        total = int(lr_config.get('max_steps') or total_steps or
+                    steps_per_epoch * 12)
         min_ratio = float(lr_config.get('min_lr_ratio', 0.0))
 
         def base(step):

@@ -27,6 +27,7 @@ sys.path.insert(0, osp.join(REPO, 'tools', 'data', 'synth'))
 CONFIGS = {
     'retinanet': ('rotated_retinanet', 'rotated_retinanet_tiny_synth.py'),
     'oriented_rcnn': ('oriented_rcnn', 'oriented_rcnn_tiny_synth.py'),
+    'rotated_yolov8': ('jy', 'rotated_yolov8_tiny_synth.py'),
 }
 
 
