@@ -28,6 +28,7 @@ CONFIGS = {
     'retinanet': ('rotated_retinanet', 'rotated_retinanet_tiny_synth.py'),
     'oriented_rcnn': ('oriented_rcnn', 'oriented_rcnn_tiny_synth.py'),
     'rotated_yolov8': ('jy', 'rotated_yolov8_tiny_synth.py'),
+    'redet': ('redet', 'redet_tiny_synth.py'),
 }
 
 
