@@ -39,10 +39,14 @@ class DetectorBundle:
         self.variables = variables
         self.dtype = dtype
         head = cfg.model.get('bbox_head')
-        if head is None:                         # two-stage / cascade
+        if head is None and cfg.model.get('roi_head'):  # two-stage/cascade
             head = cfg.model['roi_head']['bbox_head']
             if isinstance(head, (list, tuple)):
                 head = head[-1]
+        if head is None:                         # refine (S2ANet/R3Det)
+            head = cfg.model.get('odm_head') or \
+                (cfg.model.get('refine_heads') or [None])[-1] or \
+                cfg.model.get('fam_head')
         self.num_classes = int(head['num_classes'])
         self.CLASSES = None
         # data-parallel eval over a device mesh (reference multi_gpu_test):

@@ -29,6 +29,9 @@ CONFIGS = {
     'oriented_rcnn': ('oriented_rcnn', 'oriented_rcnn_tiny_synth.py'),
     'rotated_yolov8': ('jy', 'rotated_yolov8_tiny_synth.py'),
     'redet': ('redet', 'redet_tiny_synth.py'),
+    'oriented_reppoints': ('oriented_reppoints',
+                           'oriented_reppoints_tiny_synth.py'),
+    's2anet': ('s2anet', 's2anet_tiny_synth.py'),
 }
 
 
