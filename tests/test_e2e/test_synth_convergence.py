@@ -33,6 +33,7 @@ CONFIGS = {
                            'oriented_reppoints_tiny_synth.py'),
     's2anet': ('s2anet', 's2anet_tiny_synth.py'),
     'r3det': ('r3det', 'r3det_tiny_synth.py'),
+    'gliding_vertex': ('gliding_vertex', 'gliding_vertex_tiny_synth.py'),
 }
 
 
