@@ -34,6 +34,7 @@ CONFIGS = {
     's2anet': ('s2anet', 's2anet_tiny_synth.py'),
     'r3det': ('r3det', 'r3det_tiny_synth.py'),
     'gliding_vertex': ('gliding_vertex', 'gliding_vertex_tiny_synth.py'),
+    'rotated_fcos': ('rotated_fcos', 'rotated_fcos_tiny_synth.py'),
 }
 
 
