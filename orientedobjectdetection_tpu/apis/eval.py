@@ -113,29 +113,53 @@ def _eval_indices(bundle, dataset, idx, batch_size, num_workers, pad, norm,
     return results
 
 
+# Monotonic per-process gather round; part of the collect dir name so
+# repeated calls (per-epoch eval) never reuse a directory and a fast
+# process can't clobber round k's parts while a slow one still reads them.
+_GATHER_ROUND = [0]
+
+
 def _collect_results(part, my_indices, total, collect_dir=None):
     """File-based cross-process gather (mmdet ``collect_results_cpu``):
     each process pickles its partial list to a shared dir; everyone loads
-    all parts and re-interleaves. A barrier on a tiny allgather keeps
-    readers behind writers."""
+    all parts and re-interleaves. Barriers (tiny device allgathers) keep
+    readers behind writers and writers of round k+1 behind readers of
+    round k; part files are deleted by rank 0 afterwards."""
     import os
     import pickle
-    import tempfile
-    collect_dir = collect_dir or os.path.join(tempfile.gettempdir(),
-                                              'oodtpu_eval')
-    os.makedirs(collect_dir, exist_ok=True)
+    if collect_dir is None:
+        if jax.process_count() > 1:
+            # tempdir is per-host on multi-host pods; a silent default
+            # would gather stale/missing parts. Force an explicit path.
+            raise ValueError(
+                'multi-process eval needs collect_dir on a SHARED '
+                'filesystem (tempdir is per-host); pass collect_dir= or '
+                'tools/test.py --collect-dir')
+        import tempfile
+        collect_dir = os.path.join(tempfile.gettempdir(), 'oodtpu_eval')
+    round_dir = os.path.join(collect_dir, f'round_{_GATHER_ROUND[0]}')
+    _GATHER_ROUND[0] += 1
+    os.makedirs(round_dir, exist_ok=True)
     rank = jax.process_index()
-    with open(os.path.join(collect_dir, f'part_{rank}.pkl'), 'wb') as f:
+    part_path = os.path.join(round_dir, f'part_{rank}.pkl')
+    tmp_path = part_path + '.tmp'
+    with open(tmp_path, 'wb') as f:
         pickle.dump((my_indices, part), f)
-    # device-backed barrier: psum of 1 across processes
+    os.replace(tmp_path, part_path)   # atomic: readers never see partials
+    # device-backed barrier: all writers done before anyone reads
     from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices('oodtpu_eval_gather')
+    multihost_utils.sync_global_devices(f'oodtpu_eval_write_{round_dir}')
     merged: List = [None] * total
     for r in range(jax.process_count()):
-        with open(os.path.join(collect_dir, f'part_{r}.pkl'), 'rb') as f:
+        with open(os.path.join(round_dir, f'part_{r}.pkl'), 'rb') as f:
             indices, res = pickle.load(f)
         for i, item in zip(indices, res):
             merged[i] = item
+    # all readers done before rank 0 deletes the round dir
+    multihost_utils.sync_global_devices(f'oodtpu_eval_read_{round_dir}')
+    if rank == 0:
+        import shutil
+        shutil.rmtree(round_dir, ignore_errors=True)
     return merged
 
 

@@ -25,6 +25,20 @@ class HRSCDataset(DOTADataset):
     CLASSES = ('ship',)
     HRSC_CLASS = '100000001'
     PALETTE = [(0, 255, 0)]
+    # reference ``datasets/hrsc.py:31-47``: classwise mode exposes the 31
+    # ship types, keyed by Class_ID suffix
+    HRSC_CLASSES = ('ship', 'aircraft carrier', 'warcraft', 'merchant ship',
+                    'Nimitz', 'Enterprise', 'Arleigh Burke', 'WhidbeyIsland',
+                    'Perry', 'Sanantonio', 'Ticonderoga', 'Kitty Hawk',
+                    'Kuznetsov', 'Abukuma', 'Austen', 'Tarawa', 'Blue Ridge',
+                    'Container', 'OXo|--)', 'Car carrier([]==[])',
+                    'Hovercraft', 'yacht', 'CntShip(_|.--.--|_]=', 'Cruise',
+                    'submarine', 'lute', 'Medical', 'Car carrier(======|',
+                    'Ford-class', 'Midway-class', 'Invincible-class')
+    HRSC_CLASSES_ID = ('01', '02', '03', '04', '05', '06', '07', '08', '09',
+                       '10', '11', '12', '13', '14', '15', '16', '17', '18',
+                       '19', '20', '22', '24', '25', '26', '27', '28', '29',
+                       '30', '31', '32', '33')
 
     def __init__(self, ann_file, pipeline, img_prefix='',
                  img_subdir='AllImages', ann_subdir='Annotations',
@@ -32,6 +46,11 @@ class HRSCDataset(DOTADataset):
         self.img_subdir = img_subdir
         self.ann_subdir = ann_subdir
         self.classwise = classwise
+        if classwise:
+            self.catid2label = {
+                '1000000' + cls_id: i
+                for i, cls_id in enumerate(self.HRSC_CLASSES_ID)}
+            kwargs.setdefault('classes', self.HRSC_CLASSES)
         super().__init__(ann_file, pipeline, img_prefix=img_prefix,
                          version=version, **kwargs)
 
@@ -51,6 +70,13 @@ class HRSCDataset(DOTADataset):
             if osp.isfile(xml_path):
                 root = ET.parse(xml_path).getroot()
                 for obj in root.findall('.//HRSC_Object'):
+                    if self.classwise:
+                        label = self.catid2label.get(
+                            obj.findtext('Class_ID', ''))
+                        if label is None:
+                            continue
+                    else:
+                        label = 0
                     cx = float(obj.findtext('mbox_cx', '0'))
                     cy = float(obj.findtext('mbox_cy', '0'))
                     w = float(obj.findtext('mbox_w', '0'))
@@ -64,13 +90,15 @@ class HRSCDataset(DOTADataset):
                         ang = float(norm_angle(np.asarray(ang + np.pi / 2),
                                                self.version))
                     bboxes.append([cx, cy, w, h, ang])
-                    labels.append(0)
+                    labels.append(label)
             ann = dict(
                 bboxes=np.asarray(bboxes, np.float32).reshape(-1, 5),
                 labels=np.asarray(labels, np.int64).reshape(-1),
                 bboxes_ignore=np.zeros((0, 5), np.float32),
                 labels_ignore=np.zeros((0,), np.int64))
-            data_infos.append(dict(filename=f'{img_id}.bmp', ann=ann))
+            data_infos.append(dict(
+                filename=osp.join(self.img_subdir, f'{img_id}.bmp'),
+                ann=ann))
         if self.filter_empty_gt and not self.test_mode:
             data_infos = [d for d in data_infos if len(d['ann']['labels'])]
         return data_infos

@@ -166,7 +166,7 @@ class OrientedRPNHead(nn.Module):
                 deltas = deltas.reshape(-1, 6)
                 n = scores.shape[0]
                 k = min(nms_pre, n)
-                top_s, top_i = jax.lax.top_k(scores, k)
+                top_s, top_i = topk_candidates(scores, k)
                 anchors_xyxy = obb2xyxy(anchors[top_i], self.version)
                 obbs = self.coder.decode(anchors_xyxy, deltas[top_i])
                 cand_boxes.append(obbs)
@@ -179,7 +179,7 @@ class OrientedRPNHead(nn.Module):
             scores = jnp.where(ok, scores, NEG_INF)
             # cap NMS problem size
             k = min(max_candidates, scores.shape[0])
-            top_s, top_i = jax.lax.top_k(scores, k)
+            top_s, top_i = topk_candidates(scores, k)
             top_b = boxes[top_i]
             valid = top_s > NEG_INF / 2
             hbbs = obb2xyxy(top_b, self.version)

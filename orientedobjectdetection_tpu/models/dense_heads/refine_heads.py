@@ -74,7 +74,8 @@ class RefineHeadLogic(AnchorHeadLogic):
         def per_image(scores, deltas, anc):
             scores = jax.nn.sigmoid(scores)
             k = min(nms_pre, scores.shape[0])
-            _, top_idx = jax.lax.top_k(scores.max(-1), k)
+            from ...ops.nms import topk_candidates
+            _, top_idx = topk_candidates(scores.max(-1), k)
             boxes = self.coder.decode(anc[top_idx], deltas[top_idx],
                                       max_shape=img_shape)
             sc = jnp.concatenate([scores[top_idx],

@@ -177,7 +177,8 @@ class AnchorHeadLogic:
                 scores = jax.nn.sigmoid(scores)
                 n = scores.shape[0]
                 k = min(nms_pre, n) if nms_pre > 0 else n
-                top_vals, top_idx = jax.lax.top_k(scores.max(-1), k)
+                from ...ops.nms import topk_candidates
+                top_vals, top_idx = topk_candidates(scores.max(-1), k)
                 sel_scores = scores[top_idx]
                 sel_boxes = self.coder.decode(anchors[top_idx],
                                               deltas[top_idx],

@@ -311,7 +311,8 @@ class RotatedFCOSHead(nn.Module):
                 n = scores.shape[0]
                 k = min(nms_pre, n) if nms_pre > 0 else n
                 rank = (scores.max(-1) * ctr)
-                _, top_idx = jax.lax.top_k(rank, k)
+                from ...ops.nms import topk_candidates
+                _, top_idx = topk_candidates(rank, k)
                 sel = lambda v: v[top_idx]
                 boxes = self.coder.decode(
                     sel(pts), jnp.concatenate([sel(deltas), sel(theta)], -1),

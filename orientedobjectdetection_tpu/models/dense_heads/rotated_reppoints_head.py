@@ -684,7 +684,8 @@ class RotatedRepPointsHead(nn.Module):
         def per_image(scores, pointsets):
             scores = jax.nn.sigmoid(scores)
             k = min(nms_pre, scores.shape[0])
-            _, top_idx = jax.lax.top_k(scores.max(-1), k)
+            from ...ops.nms import topk_candidates
+            _, top_idx = topk_candidates(scores.max(-1), k)
             sel_sets = pointsets[top_idx]
             polys = min_area_polygons(sel_sets)
             boxes = poly2obb(polys, self.version)

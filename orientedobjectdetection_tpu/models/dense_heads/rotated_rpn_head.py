@@ -147,7 +147,7 @@ class RotatedRPNHead(nn.Module):
                 scores = jax.nn.sigmoid(scores.reshape(-1))
                 deltas = deltas.reshape(-1, 4)
                 k = min(nms_pre, scores.shape[0])
-                top_s, top_i = jax.lax.top_k(scores, k)
+                top_s, top_i = topk_candidates(scores, k)
                 anchors_xyxy = obb2xyxy(anchors[top_i], self.version)
                 cand_boxes.append(self.coder.decode(anchors_xyxy,
                                                     deltas[top_i]))
@@ -155,7 +155,7 @@ class RotatedRPNHead(nn.Module):
             boxes = jnp.concatenate(cand_boxes, 0)
             scores = jnp.concatenate(cand_scores, 0)
             k = min(max_candidates, scores.shape[0])
-            top_s, top_i = jax.lax.top_k(scores, k)
+            top_s, top_i = topk_candidates(scores, k)
             top_b = boxes[top_i]
             valid = top_s > NEG_INF / 2
             keep, _ = nms_hbb(jnp.where(valid[:, None], top_b, 0.0), top_s,

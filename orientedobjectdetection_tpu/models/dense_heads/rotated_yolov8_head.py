@@ -306,7 +306,8 @@ class RotatedYOLOv8Head(nn.Module):
             decoded = self.coder.decode(points, pred_full,
                                         max_shape=img_shape)
             k = min(nms_pre, scores.shape[0])
-            _, top_idx = jax.lax.top_k(scores.max(-1), k)
+            from ...ops.nms import topk_candidates
+            _, top_idx = topk_candidates(scores.max(-1), k)
             sel_boxes = decoded[top_idx]
             sel_scores = scores[top_idx]
             if rescale and scale_factor is not None:

@@ -32,13 +32,18 @@ class AlignConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, feats, rois_per_level):
-        """feats: list of (B, H, W, C); rois_per_level: list of (B, H*W, 5)."""
-        dense = nn.Dense(self.out_channels, dtype=self.dtype,
-                         name='align_proj')
+        """feats: list of (B, H, W, C); rois_per_level: list of (B, H*W, 5).
+
+        One projection per level, matching the reference's per-stride
+        ``AlignConv`` list (``detectors/utils.py:112``) so converted
+        checkpoints keep their per-level weights."""
         outs = []
-        for feat, rois, stride in zip(feats, rois_per_level, self.strides):
+        for i, (feat, rois, stride) in enumerate(
+                zip(feats, rois_per_level, self.strides)):
             b, h, w, c = feat.shape
             taps = align_conv_sample(feat, rois, float(stride), 3)
+            dense = nn.Dense(self.out_channels, use_bias=False,
+                             dtype=self.dtype, name=f'align_proj_{i}')
             out = dense(taps.reshape(b, h, w, -1))
             outs.append(nn.relu(out))
         return outs

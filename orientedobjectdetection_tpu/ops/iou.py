@@ -22,6 +22,8 @@ traffic and XLA compile time.)
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -163,12 +165,46 @@ def diff_iou_rotated_2d(boxes1, boxes2):
     return box_iou_rotated(boxes1, boxes2, mode='iou', aligned=True)
 
 
+# Pair count above which the compiled Pallas tile kernel takes over on TPU
+# for non-differentiable IoU matrices (assignment): the jnp path
+# materializes (..., N, M, 4, 4, 2) clip intermediates in HBM — at
+# (32 gt x 196k anchors) x batch 8 that is a 6 GB temp and an OOM in the
+# batch-8 train step — while the Pallas kernel keeps everything for a
+# (128, 128) tile in VMEM.
+_PALLAS_MIN_PAIRS = 1 << 20
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _iou_matrix_nograd(boxes1, boxes2, mode):
+    """Pallas IoU matrix with a zero-tangent JVP (assignment is
+    non-differentiable: its outputs feed argmax/threshold decisions)."""
+    from .iou_pallas import box_iou_rotated_pallas
+    return box_iou_rotated_pallas(boxes1, boxes2, mode=mode)
+
+
+@_iou_matrix_nograd.defjvp
+def _iou_matrix_nograd_jvp(mode, primals, tangents):
+    out = _iou_matrix_nograd(*primals, mode)
+    return out, jnp.zeros_like(out)
+
+
+def _use_pallas_matrix(b1, b2, aligned):
+    from .iou_pallas import pallas_available
+    return (not aligned and b1.ndim == 2 and b2.ndim == 2
+            and b1.shape[0] * b2.shape[0] >= _PALLAS_MIN_PAIRS
+            and pallas_available())
+
+
 def rbbox_overlaps(bboxes1, bboxes2, mode: str = 'iou',
                    is_aligned: bool = False):
     """IoU calculator matching reference
     ``core/bbox/iou_calculators/rotate_iou2d_calculator.py:8-89``: accepts
     (..., 5) or (..., 6) (with score column dropped) and clamps w/h >= 1e-3
-    for numerical stability before the kernel."""
+    for numerical stability before the kernel.
+
+    Large unaligned matrices on TPU are routed to the compiled Pallas tile
+    kernel (non-differentiable; assignment never needs gradients). The jnp
+    path stays for aligned/differentiable/CPU uses."""
     if bboxes1.shape[-1] == 6:
         bboxes1 = bboxes1[..., :5]
     if bboxes2.shape[-1] == 6:
@@ -184,4 +220,6 @@ def rbbox_overlaps(bboxes1, bboxes2, mode: str = 'iou',
     clamped2 = jnp.concatenate(
         [bboxes2[..., :2], jnp.maximum(bboxes2[..., 2:4], 1e-3),
          bboxes2[..., 4:5]], axis=-1)
+    if _use_pallas_matrix(clamped1, clamped2, is_aligned):
+        return _iou_matrix_nograd(clamped1, clamped2, mode)
     return box_iou_rotated(clamped1, clamped2, mode=mode, aligned=is_aligned)

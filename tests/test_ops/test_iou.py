@@ -102,11 +102,12 @@ def test_empty_inputs():
 
 def test_pallas_kernel_matches_jnp():
     """The Pallas tile kernel (interpreter mode — exercises the kernel math
-    on any backend) must agree with the jnp reference path on distinct box
-    pairs. Coincident-geometry pairs (self-IoU diagonals) are excluded: the
-    kernel evaluates in a global frame where the coincident-edge tie-break
-    is fp32-sensitive (self-pairs are never consumed by NMS/assignment; the
-    production path is ops.iou)."""
+    on any backend; on TPU the same kernel is the production path for NMS
+    pair masks and large assignment matrices) must agree with the jnp
+    reference path on distinct box pairs. Coincident-geometry pairs
+    (self-IoU diagonals) are excluded: the kernel evaluates in a global
+    frame where the coincident-edge tie-break is fp32-sensitive (self-pairs
+    are never consumed by NMS/assignment)."""
     from orientedobjectdetection_tpu.ops.iou_pallas import \
         box_iou_rotated_pallas_interpret
     b1 = jnp.asarray(random_boxes(150, 7))
@@ -114,3 +115,31 @@ def test_pallas_kernel_matches_jnp():
     ref = np.asarray(box_iou_rotated(b1, b2))
     pal = np.asarray(box_iou_rotated_pallas_interpret(b1, b2))
     np.testing.assert_allclose(pal, ref, atol=2e-3)
+
+
+def test_pallas_pair_mask_matches_jnp():
+    """The fused NMS pair-mask kernel (threshold + strict upper triangle +
+    lower-tile skip) must reproduce the jnp blocked path's mask bit-for-bit
+    away from the threshold boundary."""
+    from orientedobjectdetection_tpu.ops.iou_pallas import \
+        nms_pair_mask_pallas
+    boxes = jnp.asarray(random_boxes(300, 11))
+    thr = 0.1
+    iou = np.asarray(box_iou_rotated(boxes, boxes))
+    n = len(iou)
+    idx = np.arange(n)
+    ref = (iou > thr) & (idx[:, None] < idx[None, :])
+    got = np.asarray(nms_pair_mask_pallas(boxes, thr, interpret=True))
+    # ignore pairs within 2e-3 of the threshold (fp32 conditioning skew)
+    boundary = np.abs(iou - thr) < 2e-3
+    np.testing.assert_array_equal(got[~boundary], ref[~boundary])
+    assert not got[np.tril_indices(n)].any()
+
+
+def test_topk_candidates_cpu_fallback_exact():
+    from orientedobjectdetection_tpu.ops.nms import topk_candidates
+    x = jnp.asarray(np.random.RandomState(0).randn(500).astype(np.float32))
+    v, i = topk_candidates(x, 50)
+    ve, ie = jax.lax.top_k(x, 50)
+    np.testing.assert_allclose(np.sort(np.asarray(v)),
+                               np.sort(np.asarray(ve)))

@@ -108,6 +108,63 @@ def generate_synth(root, num_images=200, size=256, seed=0, split='trainval',
     return root
 
 
+def generate_synth_hrsc(root, num_images=200, size=256, seed=0,
+                        imageset='trainval', max_objs=4):
+    """Write synthetic ship scenes in the HRSC2016 on-disk layout the
+    reference consumes (``/root/reference/mmrotate/datasets/hrsc.py:17-100``):
+    ``{root}/FullDataSet/AllImages/*.bmp`` + ``FullDataSet/Annotations/
+    *.xml`` (VOC-style with HRSC_Object mbox_cx/cy/w/h/ang) + an
+    ``ImageSets/{imageset}.txt`` id list. Single 'ship' class."""
+    import cv2
+    img_dir = osp.join(root, 'FullDataSet', 'AllImages')
+    ann_dir = osp.join(root, 'FullDataSet', 'Annotations')
+    set_dir = osp.join(root, 'ImageSets')
+    for d in (img_dir, ann_dir, set_dir):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ids = []
+    for i in range(num_images):
+        img = rng.integers(60, 120, (size, size, 3), np.uint8)
+        for _ in range(int(rng.integers(2, 6))):
+            p0 = tuple(int(v) for v in rng.integers(0, size, 2))
+            p1 = tuple(int(v) for v in rng.integers(0, size, 2))
+            cv2.line(img, p0, p1, (int(rng.integers(90, 150)),) * 3, 1)
+        objs = []
+        placed = []
+        for _ in range(int(rng.integers(1, max_objs + 1))):
+            for _attempt in range(20):
+                cx, cy, w, h, a = _sample_box(1, size, rng)   # ship shape
+                r = max(w, h) / 2
+                if all(np.hypot(cx - px, cy - py) > r + pr + 6
+                       for px, py, pr in placed):
+                    break
+            else:
+                continue
+            placed.append((cx, cy, r))
+            _render(img, _rect_poly(cx, cy, w, h, a), 1, rng)
+            objs.append((cx, cy, w, h, a))
+        img = cv2.GaussianBlur(img, (3, 3), 0)
+        stem = f'H{i:04d}'
+        ids.append(stem)
+        cv2.imwrite(osp.join(img_dir, stem + '.bmp'), img)
+        obj_xml = '\n'.join(
+            '    <HRSC_Object>\n'
+            '      <Class_ID>100000001</Class_ID>\n'
+            f'      <mbox_cx>{cx:.2f}</mbox_cx>\n'
+            f'      <mbox_cy>{cy:.2f}</mbox_cy>\n'
+            f'      <mbox_w>{w:.2f}</mbox_w>\n'
+            f'      <mbox_h>{h:.2f}</mbox_h>\n'
+            f'      <mbox_ang>{a:.5f}</mbox_ang>\n'
+            '    </HRSC_Object>' for cx, cy, w, h, a in objs)
+        with open(osp.join(ann_dir, stem + '.xml'), 'w') as f:
+            f.write('<HRSC_Image>\n  <Img_ID>%s</Img_ID>\n'
+                    '  <HRSC_Objects>\n%s\n  </HRSC_Objects>\n'
+                    '</HRSC_Image>\n' % (stem, obj_xml))
+    with open(osp.join(set_dir, imageset + '.txt'), 'w') as f:
+        f.write('\n'.join(ids) + '\n')
+    return root
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument('--root', default='/tmp/synth_dota')
@@ -115,10 +172,16 @@ def main():
     p.add_argument('--size', type=int, default=256)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--split', default='trainval')
+    p.add_argument('--hrsc', action='store_true',
+                   help='emit the HRSC2016 VOC-XML layout instead of DOTA')
     args = p.parse_args()
-    generate_synth(args.root, args.num_images, args.size, args.seed,
-                   args.split)
-    print(f'wrote {args.num_images} images to {args.root}/{args.split}')
+    if args.hrsc:
+        generate_synth_hrsc(args.root, args.num_images, args.size, args.seed,
+                            args.split)
+    else:
+        generate_synth(args.root, args.num_images, args.size, args.seed,
+                       args.split)
+    print(f'wrote {args.num_images} images to {args.root}')
 
 
 if __name__ == '__main__':

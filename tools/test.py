@@ -28,6 +28,13 @@ def parse_args():
     p.add_argument('--data-parallel', action='store_true',
                    help='shard each batch over all local devices '
                         '(reference multi_gpu_test)')
+    p.add_argument('--tta', action='store_true',
+                   help='flip test-time augmentation: original + '
+                        'horizontal + vertical flips merged with '
+                        'per-class rotated NMS (reference aug_test, '
+                        'rotated_anchor_head.py:692-787)')
+    p.add_argument('--collect-dir', default=None,
+                   help='shared dir for the multi-process result gather')
     return p.parse_args()
 
 
@@ -55,8 +62,23 @@ def main():
                                  filter_empty_gt=False))
     n = len(dataset) if args.max_images is None else \
         min(args.max_images, len(dataset))
-    results = batched_eval(bundle, dataset, batch_size=args.batch_size,
-                           max_images=n)
+    if args.tta:
+        from orientedobjectdetection_tpu.apis.inference import (
+            inference_detector_tta)
+        version = cfg.model.get('bbox_head', {}).get(
+            'version', cfg.get('angle_version', 'le90'))
+        results = []
+        for i in range(n):
+            info = dataset.data_infos[i]
+            img_path = osp.join(dataset.img_prefix, info['filename'])
+            results.append(inference_detector_tta(bundle, img_path,
+                                                  version=version))
+            if (i + 1) % 20 == 0:
+                print(f'tta eval {i + 1}/{n}')
+    else:
+        results = batched_eval(bundle, dataset, batch_size=args.batch_size,
+                               max_images=n,
+                               collect_dir=args.collect_dir)
 
     if args.out:
         import pickle
