@@ -118,8 +118,10 @@ def main():
     # ---- e2e inference (backbone/neck/head + decode + NMS) ---------------
     @jax.jit
     def infer(variables, images):
+        # head outputs stay bf16: get_bboxes ranks candidates on the raw
+        # logits and casts only the selected top-k to f32 (saves a full
+        # HBM pass over every score/delta map vs a tree-wide cast)
         outputs = det.apply(variables, images)
-        outputs = jax.tree.map(lambda x: x.astype(jnp.float32), outputs)
         return det.bboxes_from_outputs(outputs)
 
     t_infer = _timed(infer, variables, images)

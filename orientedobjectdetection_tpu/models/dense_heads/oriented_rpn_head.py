@@ -20,7 +20,7 @@ from ...core.assigners import (MaxIoUAssigner, random_sample_masks,
                                rng_from_gt)
 from ...core.coders import MidpointOffsetCoder
 from ...ops.boxes import hbb2obb, obb2xyxy
-from ...ops.nms import NEG_INF, hbb_overlaps, nms_hbb
+from ...ops.nms import NEG_INF, hbb_overlaps, nms_hbb, topk_candidates
 from ...utils.registry import (BBOX_CODERS, HEADS, LOSSES, PRIOR_GENERATORS)
 from .rotated_anchor_head import _build
 

@@ -71,16 +71,17 @@ class RefineHeadLogic(AnchorHeadLogic):
         box_flat = jnp.concatenate(
             [p.reshape(b, -1, 5) for p in bbox_preds], 1)
 
-        def per_image(scores, deltas, anc):
-            scores = jax.nn.sigmoid(scores)
-            k = min(nms_pre, scores.shape[0])
+        def per_image(logits, deltas, anc):
+            # rank on raw (possibly bf16) logits; sigmoid/f32 on selected
+            k = min(nms_pre, logits.shape[0])
             from ...ops.nms import topk_candidates
-            _, top_idx = topk_candidates(scores.max(-1), k)
-            boxes = self.coder.decode(anc[top_idx], deltas[top_idx],
-                                      max_shape=img_shape)
-            sc = jnp.concatenate([scores[top_idx],
-                                  jnp.zeros_like(scores[top_idx][:, :1])],
-                                 -1)
+            _, top_idx = topk_candidates(
+                logits.max(-1).astype(jnp.float32), k)
+            boxes = self.coder.decode(
+                anc[top_idx].astype(jnp.float32),
+                deltas[top_idx].astype(jnp.float32), max_shape=img_shape)
+            sel = jax.nn.sigmoid(logits[top_idx].astype(jnp.float32))
+            sc = jnp.concatenate([sel, jnp.zeros_like(sel[:, :1])], -1)
             nms_cfg = cfg.get('nms', {'iou_thr': 0.1})
             return multiclass_nms_rotated(
                 boxes, sc, score_thr=float(cfg.get('score_thr', 0.05)),

@@ -172,17 +172,24 @@ class AnchorHeadLogic:
             cand_boxes, cand_scores = [], []
             for scores, deltas, anchors in zip(cls_list, box_list,
                                                level_anchors):
-                scores = scores.reshape(-1, self.cls_out_channels)
+                # Candidate selection runs on the RAW (possibly bf16)
+                # logits: sigmoid is monotonic so top-k by max logit equals
+                # top-k by max probability, and skipping the full-map
+                # sigmoid + f32 cast saves a complete HBM pass over the
+                # score maps (~140 MB/batch at 1024 px). Only the k selected
+                # candidates are cast to f32 for decode/NMS precision.
+                logits = scores.reshape(-1, self.cls_out_channels)
                 deltas = deltas.reshape(-1, self.coder.encode_size)
-                scores = jax.nn.sigmoid(scores)
-                n = scores.shape[0]
+                n = logits.shape[0]
                 k = min(nms_pre, n) if nms_pre > 0 else n
                 from ...ops.nms import topk_candidates
-                top_vals, top_idx = topk_candidates(scores.max(-1), k)
-                sel_scores = scores[top_idx]
-                sel_boxes = self.coder.decode(anchors[top_idx],
-                                              deltas[top_idx],
-                                              max_shape=img_shape)
+                top_vals, top_idx = topk_candidates(
+                    logits.max(-1).astype(jnp.float32), k)
+                sel_scores = jax.nn.sigmoid(
+                    logits[top_idx].astype(jnp.float32))
+                sel_boxes = self.coder.decode(
+                    anchors[top_idx], deltas[top_idx].astype(jnp.float32),
+                    max_shape=img_shape)
                 cand_boxes.append(sel_boxes)
                 cand_scores.append(sel_scores)
             boxes = jnp.concatenate(cand_boxes, 0)

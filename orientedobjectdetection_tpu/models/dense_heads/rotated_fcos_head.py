@@ -297,29 +297,37 @@ class RotatedFCOSHead(nn.Module):
             cand_boxes, cand_scores, cand_ctr = [], [], []
             for lvl, (scores, deltas, angles, ctr, pts) in enumerate(zip(
                     cls_list, box_list, ang_list, ctr_list, level_points)):
-                scores = jax.nn.sigmoid(
-                    scores.reshape(-1, self.num_classes))
-                ctr = jax.nn.sigmoid(ctr.reshape(-1))
+                # Rank candidates on the raw (possibly bf16) maps; sigmoid /
+                # f32 cast / stride scaling / angle decode all run on the k
+                # selected rows only — this keeps the full-map work to one
+                # max-reduce per level (see rotated_anchor_head.get_bboxes).
+                logits = scores.reshape(-1, self.num_classes)
+                ctr_l = ctr.reshape(-1)
                 deltas = deltas.reshape(-1, 4)
-                if self.norm_on_bbox:
-                    deltas = deltas * self.strides[lvl]
                 angles = angles.reshape(-1, angles.shape[-1])
-                if self.separate_angle and self.angle_coder_obj is not None:
-                    theta = self.angle_coder_obj.decode(angles)[:, None]
-                else:
-                    theta = angles[:, :1]
-                n = scores.shape[0]
+                n = logits.shape[0]
                 k = min(nms_pre, n) if nms_pre > 0 else n
-                rank = (scores.max(-1) * ctr)
+                rank = (jax.nn.sigmoid(logits.max(-1).astype(jnp.float32)) *
+                        jax.nn.sigmoid(ctr_l.astype(jnp.float32)))
                 from ...ops.nms import topk_candidates
                 _, top_idx = topk_candidates(rank, k)
-                sel = lambda v: v[top_idx]
+                sel_scores = jax.nn.sigmoid(
+                    logits[top_idx].astype(jnp.float32))
+                sel_ctr = jax.nn.sigmoid(ctr_l[top_idx].astype(jnp.float32))
+                sel_deltas = deltas[top_idx].astype(jnp.float32)
+                if self.norm_on_bbox:
+                    sel_deltas = sel_deltas * self.strides[lvl]
+                sel_angles = angles[top_idx].astype(jnp.float32)
+                if self.separate_angle and self.angle_coder_obj is not None:
+                    theta = self.angle_coder_obj.decode(sel_angles)[:, None]
+                else:
+                    theta = sel_angles[:, :1]
                 boxes = self.coder.decode(
-                    sel(pts), jnp.concatenate([sel(deltas), sel(theta)], -1),
+                    pts[top_idx], jnp.concatenate([sel_deltas, theta], -1),
                     max_shape=img_shape)
                 cand_boxes.append(boxes)
-                cand_scores.append(sel(scores))
-                cand_ctr.append(sel(ctr))
+                cand_scores.append(sel_scores)
+                cand_ctr.append(sel_ctr)
             boxes = jnp.concatenate(cand_boxes, 0)
             scores = jnp.concatenate(cand_scores, 0)
             ctrs = jnp.concatenate(cand_ctr, 0)

@@ -19,7 +19,7 @@ from ...core.assigners import (MaxIoUAssigner, random_sample_masks,
                                rng_from_gt)
 from ...core.coders import DeltaXYWHBBoxCoder
 from ...ops.boxes import hbb2obb, obb2hbb, obb2xyxy
-from ...ops.nms import NEG_INF, nms_hbb
+from ...ops.nms import NEG_INF, nms_hbb, topk_candidates
 from ...utils.registry import HEADS, LOSSES, PRIOR_GENERATORS
 from .rotated_anchor_head import _build
 

@@ -299,17 +299,20 @@ class RotatedYOLOv8Head(nn.Module):
         points, strides, _ = self._points(featmap_sizes)
         cls_flat, box_flat, ang_flat = self._flat(outputs)
 
-        def per_image(scores, boxes, angles):
-            scores = jax.nn.sigmoid(scores)                 # (N, C)
-            pred_full = jnp.concatenate(
-                [boxes * strides[:, None], angles], -1)
-            decoded = self.coder.decode(points, pred_full,
-                                        max_shape=img_shape)
-            k = min(nms_pre, scores.shape[0])
+        def per_image(logits, boxes, angles):
+            # Rank on raw logits (sigmoid is monotonic); decode and sigmoid
+            # only the k selected candidates, in f32 (bf16-safe inputs).
+            k = min(nms_pre, logits.shape[0])
             from ...ops.nms import topk_candidates
-            _, top_idx = topk_candidates(scores.max(-1), k)
-            sel_boxes = decoded[top_idx]
-            sel_scores = scores[top_idx]
+            _, top_idx = topk_candidates(
+                logits.max(-1).astype(jnp.float32), k)
+            sel_scores = jax.nn.sigmoid(logits[top_idx].astype(jnp.float32))
+            pred_sel = jnp.concatenate(
+                [boxes[top_idx].astype(jnp.float32) *
+                 strides[top_idx, None], angles[top_idx].astype(jnp.float32)],
+                -1)
+            sel_boxes = self.coder.decode(points[top_idx], pred_sel,
+                                          max_shape=img_shape)
             if rescale and scale_factor is not None:
                 sf = jnp.asarray(scale_factor)
                 sel_boxes = sel_boxes.at[:, :4].divide(

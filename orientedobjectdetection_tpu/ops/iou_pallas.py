@@ -122,7 +122,7 @@ def _tile_iou(a, bT, mode: str):
     return inter / jnp.maximum(denom, 1e-6)
 
 
-def _pair_mask_kernel(a_ref, bT_ref, o_ref, *, thr: float):
+def _pair_mask_kernel(a_ref, bT_ref, o_ref, *, thr: float, tn: int, tm: int):
     """Strict-upper-triangle thresholded pair mask for NMS: tile (i, j)
     computes (iou > thr) & (col > row); tiles strictly below the diagonal
     skip the clip math entirely (the pair mask is symmetric work the
@@ -130,19 +130,21 @@ def _pair_mask_kernel(a_ref, bT_ref, o_ref, *, thr: float):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    @pl.when(j < i)
+    @pl.when(j * tm + tm <= i * tn)
     def _zero():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    @pl.when(j >= i)
+    @pl.when(j * tm + tm > i * tn)
     def _compute():
         iou = _tile_iou(a_ref[:], bT_ref[:], 'iou')
-        row = i * TILE_N + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_N, TILE_M), 0)
-        col = j * TILE_M + jax.lax.broadcasted_iota(
-            jnp.int32, (TILE_N, TILE_M), 1)
-        o_ref[:] = jnp.where((iou > thr) & (col > row), 1.0,
-                             0.0).astype(o_ref.dtype)
+        row = i * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0)
+        col = j * tm + jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+        # i1 -> i32 -> i8: a direct i1 select into the (32, 128)-tiled i8
+        # output is an unsupported Mosaic relayout; widening to i32 first
+        # keeps the mask in its native (8, 128) tiling and the i32 -> i8
+        # truncation is a supported pack.
+        m = ((iou > thr) & (col > row)).astype(jnp.int32)
+        o_ref[:] = m.astype(jnp.int8)
 
 
 def _condition(boxes1, boxes2, n_pad, m_pad):
@@ -202,36 +204,42 @@ def box_iou_rotated_pallas_interpret(boxes1, boxes2, mode: str = 'iou'):
     return box_iou_rotated_pallas(boxes1, boxes2, mode=mode, interpret=True)
 
 
-def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False):
+def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
+                         tile_n: int = TILE_N, tile_m: int = TILE_M):
     """(N, 5) score-sorted boxes -> (N, N) bool strict-upper-triangle
     suppression-candidate mask: mask[i, j] = (IoU(i, j) > thr) & (i < j).
 
     The NMS-specific fusion of the tile kernel: threshold + triangle fold
     into the kernel, and strictly-lower tiles skip the clip math — about
-    half the pairwise work of the full-matrix kernel at N >> TILE."""
+    half the pairwise work of the full-matrix kernel at N >> TILE. The mask
+    is emitted as int8, not f32: at batch 8 x 2048^2 the mask is the
+    dominant HBM tensor on the NMS path and every greedy-fixpoint round
+    re-reads it, so 1-byte elements cut that traffic 4x."""
     n = boxes.shape[0]
-    n_pad = -(-n // TILE_N) * TILE_N
+    pad_to = max(tile_n, tile_m)
+    n_pad = -(-n // pad_to) * pad_to
     b1, b2T = _condition(boxes, boxes, n_pad, n_pad)
 
     out = pl.pallas_call(
-        functools.partial(_pair_mask_kernel, thr=float(iou_thr)),
-        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
-        grid=(n_pad // TILE_N, n_pad // TILE_M),
+        functools.partial(_pair_mask_kernel, thr=float(iou_thr),
+                          tn=tile_n, tm=tile_m),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.int8),
+        grid=(n_pad // tile_n, n_pad // tile_m),
         in_specs=[
-            pl.BlockSpec((TILE_N, 5), lambda i, j: (i, 0),
+            pl.BlockSpec((tile_n, 5), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, TILE_M), lambda i, j: (0, j),
+            pl.BlockSpec((5, tile_m), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N, TILE_M), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=300 * TILE_N * TILE_M,
-            bytes_accessed=(TILE_N + TILE_M) * 20 + TILE_N * TILE_M * 4,
-            transcendentals=4 * (TILE_N + TILE_M)),
+            flops=300 * tile_n * tile_m,
+            bytes_accessed=(tile_n + tile_m) * 20 + tile_n * tile_m,
+            transcendentals=4 * (tile_n + tile_m)),
         interpret=interpret,
     )(b1, b2T)
-    return out[:n, :n] > 0.5
+    return out[:n, :n].astype(bool)
 
 
 def pallas_available() -> bool:

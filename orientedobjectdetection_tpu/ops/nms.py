@@ -133,12 +133,12 @@ def _greedy_suppress(over_thr):
     not-yet-stable prefix index); typical suppression chains converge in
     <10 rounds, worst case N.
 
-    ``over_thr`` may be a full symmetric matrix or strict-upper-triangular
-    (from :func:`_upper_pair_mask`); only i < j entries are read.
+    ``over_thr`` must be strict-upper-triangular (both
+    :func:`_upper_pair_mask` paths guarantee it); re-masking the triangle
+    here would cost a full (N, N) read-modify-write per call.
     """
     n = over_thr.shape[0]
-    idx = jnp.arange(n)
-    lower = over_thr & (idx[:, None] < idx[None, :])   # i suppresses j>i
+    lower = over_thr                                   # i suppresses j>i
 
     def cond(state):
         keep, prev_keep, it = state
