@@ -35,6 +35,16 @@ CONFIGS = {
     'r3det': ('r3det', 'r3det_tiny_synth.py'),
     'gliding_vertex': ('gliding_vertex', 'gliding_vertex_tiny_synth.py'),
     'rotated_fcos': ('rotated_fcos', 'rotated_fcos_tiny_synth.py'),
+    'gwd': ('gwd', 'gwd_tiny_synth.py'),
+    'kld': ('kld', 'kld_tiny_synth.py'),
+    'kfiou': ('kfiou', 'kfiou_tiny_synth.py'),
+    'csl': ('csl', 'csl_tiny_synth.py'),
+    'rotated_faster_rcnn': ('rotated_faster_rcnn',
+                            'rotated_faster_rcnn_tiny_synth.py'),
+    'roi_trans': ('roi_trans', 'roi_trans_tiny_synth.py'),
+    'cfa': ('cfa', 'cfa_tiny_synth.py'),
+    'sasm': ('sasm_reppoints', 'sasm_tiny_synth.py'),
+    'g_reppoints': ('g_reppoints', 'g_reppoints_tiny_synth.py'),
 }
 
 
