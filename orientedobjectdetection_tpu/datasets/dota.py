@@ -171,8 +171,10 @@ class DOTADataset:
                 if len(cd) == 0:
                     out_per_cls.append(np.zeros((0, 6), np.float32))
                     continue
-                # bucketed host NMS: ragged per-class counts reuse a handful
-                # of compiled programs instead of one compile per N
+                # host NMS: native C++ greedy kernel (grid-binned,
+                # orientedobjectdetection_tpu/native) when a toolchain is
+                # available, else the bucketed device path — ragged
+                # per-class counts never force per-N recompiles
                 keep = nms_rotated_np(cd[:, :5], cd[:, 5], 0.1)
                 out_per_cls.append(cd[keep])
             merged_ids.append(img_id)

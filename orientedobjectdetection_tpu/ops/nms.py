@@ -317,6 +317,13 @@ def nms_rotated_np(boxes, scores, iou_thr: float):
     n = boxes.shape[0]
     if n == 0:
         return np.zeros((0,), np.int64)
+    # native C++ greedy NMS (orientedobjectdetection_tpu/native): no padded
+    # O(N^2) pair matrix, no device transfer, early-exits on suppressed
+    # rows — the host analog of mmcv's native nms_rotated. Falls back to
+    # the bucketed device kernel when no compiler is available.
+    from .. import native
+    if native.available():
+        return native.nms_rotated(boxes, scores, float(iou_thr))
     nb = _nms_bucket(n)
     bp = np.zeros((nb, 5), np.float32)
     sp = np.full((nb,), NEG_INF, np.float32)

@@ -30,12 +30,19 @@ import pytest  # noqa: E402
 def pytest_addoption(parser):
     parser.addoption('--runslow', action='store_true', default=False,
                      help='run slow end-to-end tests (synth convergence)')
+    parser.addoption('--runtpu', action='store_true', default=False,
+                     help='run opt-in real-TPU smoke tests (tests/test_tpu)')
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption('--runslow') or os.environ.get('RUN_SLOW'):
-        return
-    skip = pytest.mark.skip(reason='slow tier: pass --runslow / RUN_SLOW=1')
+    run_slow = config.getoption('--runslow') or os.environ.get('RUN_SLOW')
+    run_tpu = config.getoption('--runtpu') or os.environ.get('RUN_TPU')
+    skip_slow = pytest.mark.skip(
+        reason='slow tier: pass --runslow / RUN_SLOW=1')
+    skip_tpu = pytest.mark.skip(
+        reason='real-TPU tier: pass --runtpu / RUN_TPU=1')
     for item in items:
-        if 'slow' in item.keywords:
-            item.add_marker(skip)
+        if 'slow' in item.keywords and not run_slow:
+            item.add_marker(skip_slow)
+        if 'tpu' in item.keywords and not run_tpu:
+            item.add_marker(skip_tpu)
