@@ -671,6 +671,13 @@ class RotatedRepPointsHead(nn.Module):
                     loss_pts_refine=loss_refine)
 
     # ---- inference ----------------------------------------------------------
+    def pointsets_to_polys(self, pointsets):
+        """(K, 18) point sets -> (K, 8) corner polygons. The reference's
+        ``points2rotrect(transform_method='rotrect')``
+        (``rotated_reppoints_head.py:202-214``): minimum-area enclosing
+        rectangle of the predicted points."""
+        return min_area_polygons(pointsets)
+
     def get_bboxes(self, outputs, img_shape=None, scale_factor=None,
                    rescale: bool = False, cfg=None):
         cls_scores = outputs[0]
@@ -687,8 +694,7 @@ class RotatedRepPointsHead(nn.Module):
             from ...ops.nms import topk_candidates
             _, top_idx = topk_candidates(scores.max(-1), k)
             sel_sets = pointsets[top_idx]
-            polys = min_area_polygons(sel_sets)
-            boxes = poly2obb(polys, self.version)
+            boxes = poly2obb(self.pointsets_to_polys(sel_sets), self.version)
             sc = jnp.concatenate([scores[top_idx],
                                   jnp.zeros_like(scores[top_idx][:, :1])],
                                  -1)
@@ -880,6 +886,22 @@ class KLDRepPointsHead(RotatedRepPointsHead):
     """G-RepPoints head (reference ``configs/g_reppoints``): KLD point-set
     losses (Gaussian fitted by the batched GMM) + ATSS-KLD refine
     assignment. Network is the shared RepPoints tower."""
+
+    def pointsets_to_polys(self, pointsets):
+        """G-RepPoints decode: the KLD losses train the point set's fitted
+        GAUSSIAN toward the gt Gaussian (nothing constrains the raw point
+        hull), so the box must be read from the same statistic — fit a
+        1-component Gaussian and invert the L=3 bridge
+        (``ops/boxes.py:gaussian2bbox``; reference ``transforms.py:883-913``
+        via torch_batch_svd). Decoding the raw hull with
+        ``min_area_polygons`` is a train/test mismatch that scores ~0 mAP.
+        """
+        from ...core.gmm import gmm_fit
+        from ...ops.boxes import gaussian2bbox
+        p = pointsets.reshape(-1, self.num_points, 2)
+        _, mu, cov = gmm_fit(p, n_components=1, n_iter=2)
+        return gaussian2bbox(mu[..., 0, :], cov[..., 0, :, :]).reshape(
+            pointsets.shape[:-1] + (8,))
 
     def _reg_losses(self, prep, ref_w, num_pos_r):
         b, n = prep['init_img'].shape[:2]
