@@ -425,7 +425,16 @@ class CSLRRetinaHead(RotatedRetinaHead):
             assign = self.assigner(anchors, gb, gl, gm)
             pos = assign.assigned_gt_inds >= 0
             safe = jnp.clip(assign.assigned_gt_inds, 0, None)
-            ang_t = acoder.encode(gb[safe][:, 4:5])
+            # use_encoded_angle (reference default,
+            # csl_rotated_retina_head.py:29,343-345): the CSL target is the
+            # bbox coder's ENCODED delta angle — with edge_swap the reg
+            # branch learns swapped (w, h) for |gt - anchor| > 45 deg, so
+            # training the angle branch on the RAW gt angle makes decode
+            # combine swapped extents with an unswapped angle (caught live:
+            # synth CSL plateaued at 0.56 mAP with half the orientations
+            # misdecoded).
+            ang_t = acoder.encode(
+                self.coder.encode(anchors, gb[safe])[:, 4:5])
             return jnp.where(pos[:, None], ang_t, 0.0), \
                 pos.astype(jnp.float32)
 
@@ -449,8 +458,10 @@ class CSLRRetinaHead(RotatedRetinaHead):
             bp5 = bp.reshape(b, h, w, -1, 5)
             acd = ac.reshape(b, h, w, bp5.shape[3], acoder.coding_len)
             theta = acoder.decode(acd)
-            # angle channel carries the absolute decoded angle; anchors have
-            # theta=0 so delta == absolute (reference CSL head decode)
+            # the CSL branch was trained on the coder's ENCODED delta angle
+            # (use_encoded_angle), so its argmax decode slots straight into
+            # the delta channel; bbox_coder.decode then applies the anchor
+            # angle and the edge-swap re-canonicalization
             bp5 = bp5.at[..., 4].set(theta)
             new_preds.append(bp5.reshape(b, h, w, -1))
         return super().get_bboxes((cls_scores, tuple(new_preds)),
