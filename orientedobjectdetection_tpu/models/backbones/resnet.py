@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -81,6 +82,70 @@ def make_norm(norm_cfg: Optional[dict], dtype, name=None):
         return nn.GroupNorm(num_groups=norm_cfg.get('num_groups', 32),
                             dtype=dtype, name=name)
     raise ValueError(f'unknown norm {t}')
+
+
+def _tiled_stem_indices():
+    """Index map folding a 7x7/2 conv into a 3x3/1 conv over 4x4
+    space-to-depth blocks with a 2x2 output tile.
+
+    The stem conv (7x7, stride 2, pad 3, cin=3) is the slowest op in the
+    whole detector on TPU: 3 input channels leave the MXU's 128-wide
+    contraction ~2% utilized. Rewriting it over 4x4 input blocks
+    (channels 16*cin) emitting 2x2 output tiles (channels 4*cout) gives a
+    contraction of 9*16*cin=432 and output width 4*cout=256 — MXU-shaped —
+    and is EXACT: output pixel (2I+u, 2J+v) reads input 4(I+P-1)+s for
+    P in [0,3), s in [0,4), matching original tap p = 4P + s - 2u - 1
+    (taps outside [0,7) get zero weight).
+
+    Returns (p_idx, q_idx, valid) of shape (3, 3, 4, 4, 2, 2) for
+    gathering w9[P,Q,sr,sc,u,v] = w7[p, q] * valid.
+    """
+    import numpy as np
+    P = np.arange(3)[:, None, None, None, None, None]
+    Q = np.arange(3)[None, :, None, None, None, None]
+    sr = np.arange(4)[None, None, :, None, None, None]
+    sc = np.arange(4)[None, None, None, :, None, None]
+    u = np.arange(2)[None, None, None, None, :, None]
+    v = np.arange(2)[None, None, None, None, None, :]
+    p = 4 * P + sr - 2 * u - 1 + 0 * (Q + sc + v)
+    q = 4 * Q + sc - 2 * v - 1 + 0 * (P + sr + u)
+    valid = (p >= 0) & (p < 7) & (q >= 0) & (q < 7)
+    return np.clip(p, 0, 6), np.clip(q, 0, 6), valid
+
+
+class TiledStemConv(nn.Module):
+    """7x7/2 stem conv, lowered as space-to-depth(4) -> 3x3/1 conv ->
+    depth-to-space(2). Parameter name/shape ('kernel', (7,7,cin,f))
+    matches ``nn.Conv`` so converted checkpoints load unchanged; the
+    weight fold is a tiny gather re-done each call (XLA keeps it fused).
+    Falls back to the plain conv when H or W is not a multiple of 4.
+    """
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (7, 7, cin, self.features), jnp.float32)
+        B, H, W, _ = x.shape
+        if H % 4 or W % 4:
+            return jax.lax.conv_general_dilated(
+                x, w.astype(self.dtype), (2, 2), [(3, 3)] * 2,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        p_idx, q_idx, valid = _tiled_stem_indices()
+        w9 = w[p_idx, q_idx] * valid[..., None, None]  # (3,3,4,4,2,2,cin,f)
+        w9 = w9.transpose(0, 1, 2, 3, 6, 4, 5, 7)      # (3,3,sr,sc,c,u,v,f)
+        w9 = w9.reshape(3, 3, 16 * cin, 4 * self.features)
+        xs = x.reshape(B, H // 4, 4, W // 4, 4, cin)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 4, W // 4,
+                                                    16 * cin)
+        y = jax.lax.conv_general_dilated(
+            xs, w9.astype(self.dtype), (1, 1), [(1, 1)] * 2,
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        y = y.reshape(B, H // 4, W // 4, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5)
+        return y.reshape(B, H // 2, W // 2, self.features)
 
 
 class Bottleneck(nn.Module):
@@ -184,8 +249,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x):
         block, stage_blocks = ARCH_SETTINGS[self.depth]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
-                    use_bias=False, dtype=self.dtype, name='conv1')(x)
+        x = TiledStemConv(features=64, dtype=self.dtype, name='conv1')(x)
         x = make_norm(self.norm_cfg, self.dtype, 'bn1')(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)

@@ -122,19 +122,31 @@ def _tile_iou(a, bT, mode: str):
     return inter / jnp.maximum(denom, 1e-6)
 
 
-def _pair_mask_kernel(a_ref, bT_ref, o_ref, *, thr: float, tn: int, tm: int):
+def _pair_mask_kernel(rmax_ref, cmin_ref, a_ref, bT_ref, o_ref, *,
+                      thr: float, tn: int, tm: int):
     """Strict-upper-triangle thresholded pair mask for NMS: tile (i, j)
     computes (iou > thr) & (col > row); tiles strictly below the diagonal
     skip the clip math entirely (the pair mask is symmetric work the
-    full-matrix kernel would waste — ~2x fewer clip evaluations)."""
+    full-matrix kernel would waste — ~2x fewer clip evaluations).
+
+    Class skip: when boxes are CLASS-MAJOR sorted and carry the multiclass
+    class offset (cross-class IoU structurally zero), a tile whose row
+    classes all precede its column classes has no same-class pair, so the
+    clip math is skipped. ``rmax_ref``/``cmin_ref`` are the FULL per-tile
+    max-row-class / min-col-class vectors in SMEM (Mosaic requires sub-8x128
+    blocks to be whole arrays), indexed by program id; callers without
+    class structure pass constants that never skip.
+    With DOTA's 15 classes this prunes the 2000-candidate NMS from ~136
+    active tiles to ~30."""
     i = pl.program_id(0)
     j = pl.program_id(1)
+    live = (j * tm + tm > i * tn) & (rmax_ref[i, 0] >= cmin_ref[j, 0])
 
-    @pl.when(j * tm + tm <= i * tn)
+    @pl.when(jnp.logical_not(live))
     def _zero():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    @pl.when(j * tm + tm > i * tn)
+    @pl.when(live)
     def _compute():
         iou = _tile_iou(a_ref[:], bT_ref[:], 'iou')
         row = i * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0)
@@ -205,7 +217,8 @@ def box_iou_rotated_pallas_interpret(boxes1, boxes2, mode: str = 'iou'):
 
 
 def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
-                         tile_n: int = TILE_N, tile_m: int = TILE_M):
+                         tile_n: int = TILE_N, tile_m: int = TILE_M,
+                         class_ids=None):
     """(N, 5) score-sorted boxes -> (N, N) bool strict-upper-triangle
     suppression-candidate mask: mask[i, j] = (IoU(i, j) > thr) & (i < j).
 
@@ -214,18 +227,38 @@ def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
     half the pairwise work of the full-matrix kernel at N >> TILE. The mask
     is emitted as int8, not f32: at batch 8 x 2048^2 the mask is the
     dominant HBM tensor on the NMS path and every greedy-fixpoint round
-    re-reads it, so 1-byte elements cut that traffic 4x."""
+    re-reads it, so 1-byte elements cut that traffic 4x.
+
+    ``class_ids`` (optional, (N,) int32, CLASS-MAJOR sorted to match
+    ``boxes``): enables the per-tile class skip — only valid when
+    cross-class pairs can never overlap (multiclass class-offset trick,
+    reference ``bbox_nms_rotated.py:67-80``)."""
     n = boxes.shape[0]
     pad_to = max(tile_n, tile_m)
     n_pad = -(-n // pad_to) * pad_to
     b1, b2T = _condition(boxes, boxes, n_pad, n_pad)
 
+    nb_r, nb_c = n_pad // tile_n, n_pad // tile_m
+    if class_ids is None:
+        # constants that never trigger the class skip
+        row_max = jnp.full((nb_r, 1), 1, jnp.int32)
+        col_min = jnp.zeros((nb_c, 1), jnp.int32)
+    else:
+        cls = jnp.pad(class_ids.astype(jnp.int32), (0, n_pad - n),
+                      constant_values=jnp.iinfo(jnp.int32).max // 2)
+        row_max = cls.reshape(nb_r, tile_n).max(1, keepdims=True)
+        col_min = cls.reshape(nb_c, tile_m).min(1, keepdims=True)
+
     out = pl.pallas_call(
         functools.partial(_pair_mask_kernel, thr=float(iou_thr),
                           tn=tile_n, tm=tile_m),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.int8),
-        grid=(n_pad // tile_n, n_pad // tile_m),
+        grid=(nb_r, nb_c),
         in_specs=[
+            pl.BlockSpec((nb_r, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((nb_c, 1), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, 5), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((5, tile_m), lambda i, j: (0, j),
@@ -238,7 +271,7 @@ def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
             bytes_accessed=(tile_n + tile_m) * 20 + tile_n * tile_m,
             transcendentals=4 * (tile_n + tile_m)),
         interpret=interpret,
-    )(b1, b2T)
+    )(row_max, col_min, b1, b2T)
     return out[:n, :n].astype(bool)
 
 

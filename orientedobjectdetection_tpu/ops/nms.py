@@ -78,7 +78,7 @@ def _blocked_pair_mask(boxes, iou_fn, iou_thr, block: int = 256):
     return mask.reshape(nb * block, n)[:n]
 
 
-def _upper_pair_mask(boxes, iou_fn, iou_thr, block=None):
+def _upper_pair_mask(boxes, iou_fn, iou_thr, block=None, class_ids=None):
     """Boolean (N, N) matrix: pair IoU > thr for i < j ONLY (strict upper
     triangle; lower triangle and diagonal are False).
 
@@ -97,7 +97,7 @@ def _upper_pair_mask(boxes, iou_fn, iou_thr, block=None):
         # (~2x fewer pair evaluations than the full matrix; the jnp path is
         # ~10x slower again at N = 2048 on v5e, honest device timing).
         # Works under vmap (batch becomes an extra grid dimension).
-        return nms_pair_mask_pallas(boxes, iou_thr)
+        return nms_pair_mask_pallas(boxes, iou_thr, class_ids=class_ids)
     if block is None:
         # measured on v5e (N=2000, R50 e2e bench, post-sincos-hoist):
         # block 16 -> 135.8 imgs/s, 64 -> 84.9, 256 -> 71. Small row blocks
@@ -156,7 +156,7 @@ def _greedy_suppress(over_thr):
 
 
 def nms_rotated(boxes, scores, iou_threshold: float,
-                valid_mask=None, block=None):
+                valid_mask=None, block=None, class_ids=None):
     """Rotated NMS over padded candidates.
 
     Args:
@@ -165,19 +165,32 @@ def nms_rotated(boxes, scores, iou_threshold: float,
             ``valid_mask``).
         iou_threshold: suppression threshold.
         valid_mask: optional (N,) bool marking real candidates.
+        class_ids: optional (N,) int32. ONLY pass when cross-class pairs
+            can never overlap (the multiclass class-offset trick): the
+            greedy pass then visits candidates class-major (same keep set,
+            since suppression is intra-class) and the Pallas pair-mask
+            kernel prunes whole cross-class tiles. Padded entries should
+            carry a class larger than any real one.
 
     Returns:
         keep: (N,) bool — survivors, in the *original* index order.
         order: (N,) int32 — indices sorted by descending score (apply
-            ``keep[order]`` for the score-ranked survivor list, matching the
-            CUDA kernel's sorted output).
+            ``keep[order]`` for the score-ranked survivor list, matching
+            the CUDA kernel's sorted output); class-major when
+            ``class_ids`` is given.
     """
     if valid_mask is not None:
         scores = jnp.where(valid_mask, scores, NEG_INF)
-    order = jnp.argsort(-scores)
+    if class_ids is None:
+        order = jnp.argsort(-scores)
+        sorted_cls = None
+    else:
+        # class-major, descending score within class (stable two-key sort)
+        order = jnp.lexsort((-scores, class_ids))
+        sorted_cls = class_ids[order]
     sorted_boxes = boxes[order]
     over = _upper_pair_mask(sorted_boxes, box_iou_rotated, iou_threshold,
-                            block)
+                            block, class_ids=sorted_cls)
     keep_sorted = _greedy_suppress(over)
     if valid_mask is not None:
         keep_sorted = keep_sorted & (scores[order] > NEG_INF / 2)
@@ -268,8 +281,11 @@ def multiclass_nms_rotated(multi_bboxes,
     offsets = top_labels.astype(safe_boxes.dtype) * (max_coordinate + 1)
     boxes_for_nms = safe_boxes.at[:, :2].add(offsets[:, None])
 
+    # padded candidates sort behind every real class so the kernel's
+    # class-range skip prunes their tiles too
+    nms_cls = jnp.where(top_valid, top_labels, num_classes)
     keep, _ = nms_rotated(boxes_for_nms, top_scores, iou_thr,
-                          valid_mask=top_valid)
+                          valid_mask=top_valid, class_ids=nms_cls)
     kept_scores = jnp.where(keep & top_valid, top_scores, NEG_INF)
 
     if kept_scores.shape[0] < max_per_img:

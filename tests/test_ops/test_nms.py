@@ -80,3 +80,42 @@ def test_multiclass_score_threshold():
     assert int(np.asarray(valid).sum()) == 0
     assert (np.asarray(labels) == -1).all()
     assert (np.asarray(dets) == 0).all()
+
+
+def test_class_major_nms_same_keep_set():
+    """class_ids NMS (class-major greedy + tile class skip) must return the
+    exact keep set of plain score-major NMS when boxes carry the class
+    offset (cross-class IoU structurally zero)."""
+    rng = np.random.default_rng(7)
+    n, c = 300, 7
+    boxes = np.stack([rng.uniform(0, 500, n), rng.uniform(0, 500, n),
+                      rng.uniform(10, 80, n), rng.uniform(10, 80, n),
+                      rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    boxes[:, :2] += labels[:, None] * 2000.0          # class-offset trick
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    keep_plain, _ = nms_rotated(jnp.asarray(boxes), jnp.asarray(scores), 0.2)
+    keep_cls, _ = nms_rotated(jnp.asarray(boxes), jnp.asarray(scores), 0.2,
+                              class_ids=jnp.asarray(labels))
+    np.testing.assert_array_equal(np.asarray(keep_plain),
+                                  np.asarray(keep_cls))
+
+
+def test_pallas_pair_mask_class_skip_interpret():
+    """The kernel's class-range tile skip must not change the mask when
+    cross-class IoU is zero (class-offset layout, class-major sorted)."""
+    from orientedobjectdetection_tpu.ops.iou_pallas import \
+        nms_pair_mask_pallas
+    rng = np.random.default_rng(3)
+    n = 160                                            # > one 128-tile
+    labels = np.sort(rng.integers(0, 5, n)).astype(np.int32)
+    boxes = np.stack([rng.uniform(0, 300, n) + labels * 1000,
+                      rng.uniform(0, 300, n),
+                      rng.uniform(10, 60, n), rng.uniform(10, 60, n),
+                      rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32)
+    base = np.asarray(nms_pair_mask_pallas(jnp.asarray(boxes), 0.2,
+                                           interpret=True))
+    skip = np.asarray(nms_pair_mask_pallas(jnp.asarray(boxes), 0.2,
+                                           interpret=True,
+                                           class_ids=jnp.asarray(labels)))
+    np.testing.assert_array_equal(base, skip)
