@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.boxes import obb2hbb
+from ..ops.gather import take_rows
 from ..ops.iou import rbbox_overlaps
 from ..utils.registry import BBOX_ASSIGNERS
 
@@ -181,7 +182,8 @@ class MaxIoUAssigner:
 
         labels = jnp.where(
             assigned >= 0,
-            gt_labels[jnp.clip(assigned, 0, None)].astype(jnp.int32), -1)
+            take_rows(gt_labels.astype(jnp.int32),
+                      jnp.clip(assigned, 0, None)), -1)
         return AssignResult(assigned, max_overlaps, labels)
 
 
@@ -251,7 +253,8 @@ class ATSSObbAssigner:
                              pos_iou.argmax(axis=1).astype(jnp.int32), NEG)
         labels = jnp.where(
             assigned >= 0,
-            gt_labels[jnp.clip(assigned, 0, None)].astype(jnp.int32), -1)
+            take_rows(gt_labels.astype(jnp.int32),
+                      jnp.clip(assigned, 0, None)), -1)
         return AssignResult(assigned, overlaps.max(axis=1), labels)
 
 
@@ -369,8 +372,8 @@ class SASAssigner:
         assigned = jnp.where(maxq > -1, posq.argmax(-1).astype(jnp.int32),
                              NEG)
         labels = jnp.where(assigned >= 0,
-                           gt_labels[jnp.clip(assigned, 0, None)].astype(
-                               jnp.int32), -1)
+                           take_rows(gt_labels.astype(jnp.int32),
+                                     jnp.clip(assigned, 0, None)), -1)
         return AssignResult(assigned, overlaps.max(-1), labels)
 
 
@@ -427,6 +430,6 @@ class ATSSKldAssigner(ATSSObbAssigner):
         assigned = jnp.where(maxq > -1, posq.argmax(-1).astype(jnp.int32),
                              NEG)
         labels = jnp.where(assigned >= 0,
-                           gt_labels[jnp.clip(assigned, 0, None)].astype(
-                               jnp.int32), -1)
+                           take_rows(gt_labels.astype(jnp.int32),
+                                     jnp.clip(assigned, 0, None)), -1)
         return AssignResult(assigned, overlaps.max(-1), labels)

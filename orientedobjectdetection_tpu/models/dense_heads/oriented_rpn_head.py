@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.gather import take_rows
 from ...core.assigners import (MaxIoUAssigner, random_sample_masks,
                                rng_from_gt)
 from ...core.coders import MidpointOffsetCoder
@@ -113,7 +114,7 @@ class OrientedRPNHead(nn.Module):
                                            rng_from_gt(gb),
                                            neg_pos_ub=samp_ub)
             safe = jnp.clip(assign.assigned_gt_inds, 0, None)
-            deltas = self.coder.encode(anchors_xyxy, gb[safe])
+            deltas = self.coder.encode(anchors_xyxy, take_rows(gb, safe))
             deltas = jnp.where(pos[:, None], deltas, 0.0)
             labels = jnp.where(pos, 0, 1)  # 0 = fg for BCE objectness
             return labels, (pos | neg).astype(jnp.float32), deltas, \

@@ -24,6 +24,7 @@ from flax import linen as nn
 from ...core.anchors import RotatedAnchorGenerator, anchor_inside_flags
 from ...core.assigners import AssignResult
 from ...ops.boxes import hbb2obb, obb2xyxy
+from ...ops.gather import take_rows
 from ...ops.nms import multiclass_nms_rotated
 from ...utils.registry import (BBOX_ASSIGNERS, BBOX_CODERS, HEADS, LOSSES,
                                PRIOR_GENERATORS)
@@ -81,7 +82,7 @@ class AnchorHeadLogic:
         neg = assign.assigned_gt_inds == -1
 
         safe_idx = jnp.clip(assign.assigned_gt_inds, 0, None)
-        matched_gt = gt_bboxes[safe_idx]                      # (N, 5)
+        matched_gt = take_rows(gt_bboxes, safe_idx)           # (N, 5)
         if getattr(self.coder, 'encode_size', 5) == 5 and \
                 anchors.shape[-1] == 5:
             bbox_targets = self.coder.encode(anchors, matched_gt)
@@ -332,7 +333,7 @@ class RotatedATSSHead(RotatedRetinaHead):
             pos = assign.assigned_gt_inds >= 0
             neg = assign.assigned_gt_inds == -1
             safe = jnp.clip(assign.assigned_gt_inds, 0, None)
-            bt = self.coder.encode(anchors, gb[safe])
+            bt = self.coder.encode(anchors, take_rows(gb, safe))
             bt = jnp.where(pos[:, None], bt, 0.0)
             labels = jnp.where(pos, assign.labels, self.num_classes)
             return labels, (pos | neg).astype(jnp.float32), bt, \
@@ -434,7 +435,7 @@ class CSLRRetinaHead(RotatedRetinaHead):
             # synth CSL plateaued at 0.56 mAP with half the orientations
             # misdecoded).
             ang_t = acoder.encode(
-                self.coder.encode(anchors, gb[safe])[:, 4:5])
+                self.coder.encode(anchors, take_rows(gb, safe))[:, 4:5])
             return jnp.where(pos[:, None], ang_t, 0.0), \
                 pos.astype(jnp.float32)
 

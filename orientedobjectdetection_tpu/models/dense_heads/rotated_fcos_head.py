@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.gather import take_rows
 from ...core.anchors import MlvlPointGenerator
 from ...core.coders import CSLCoder, DistanceAnglePointCoder
 from ...ops.nms import multiclass_nms_rotated
@@ -184,7 +185,8 @@ class RotatedFCOSHead(nn.Module):
         pos = min_area < INF
 
         take = lambda v: v[matched]
-        labels = jnp.where(pos, gt_labels[matched], self.num_classes)
+        labels = jnp.where(pos, take_rows(gt_labels, matched),
+                           self.num_classes)
         idx = jnp.arange(points.shape[0])
         bbox_targets = jnp.stack([left[idx, matched], top[idx, matched],
                                   right[idx, matched],

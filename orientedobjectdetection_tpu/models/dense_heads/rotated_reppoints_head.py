@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.gather import take_rows
 from ...core.anchors import MlvlPointGenerator
 from ...ops.boxes import obb2poly, poly2obb
 from ...ops.feature_align import deform_conv_sample
@@ -82,7 +83,7 @@ class ConvexAssigner:
         cd = jnp.where(claim, dist, jnp.inf)
         best = cd.argmin(-1)
         pos = jnp.isfinite(cd.min(-1))
-        labels = jnp.where(pos, gt_labels[best], num_classes)
+        labels = jnp.where(pos, take_rows(gt_labels, best), num_classes)
         return best, pos, labels
 
 
@@ -124,7 +125,7 @@ class MaxConvexIoUAssigner:
                             jnp.arange(gt_polys.shape[0])[None], -1).max(-1)
         arg = jnp.where(claimed >= 0, claimed, arg)
         pos = pos | (claimed >= 0)
-        labels = jnp.where(pos, gt_labels[arg], num_classes)
+        labels = jnp.where(pos, take_rows(gt_labels, arg), num_classes)
         return arg, pos, neg & ~pos, labels, overlaps
 
 
@@ -197,7 +198,7 @@ class ATSSKldPointsAssigner:
         posq = jnp.where(is_pos, overlaps, -1.0)
         pos = posq.max(-1) > -1
         arg = posq.argmax(-1)
-        labels = jnp.where(pos, gt_labels[arg], num_classes)
+        labels = jnp.where(pos, take_rows(gt_labels, arg), num_classes)
         return arg, pos, ~pos, labels, overlaps
 
 

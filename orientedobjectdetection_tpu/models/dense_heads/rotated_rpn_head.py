@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.gather import take_rows
 from ...core.assigners import (MaxIoUAssigner, random_sample_masks,
                                rng_from_gt)
 from ...core.coders import DeltaXYWHBBoxCoder
@@ -106,7 +107,8 @@ class RotatedRPNHead(nn.Module):
                                            neg_pos_ub=samp_ub)
             safe = jnp.clip(assign.assigned_gt_inds, 0, None)
             gt_xyxy = obb2xyxy(gb, self.version)
-            deltas = self.coder.encode(anchors_xyxy, gt_xyxy[safe])
+            deltas = self.coder.encode(anchors_xyxy,
+                                       take_rows(gt_xyxy, safe))
             deltas = jnp.where(pos[:, None], deltas, 0.0)
             return jnp.where(pos, 0, 1), (pos | neg).astype(jnp.float32), \
                 deltas, pos.astype(jnp.float32), pos

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.gather import take_rows
 from ...core.anchors import MlvlPointGenerator
 from ...core.coders import DistanceAnglePointCoder
 from ...ops.iou import rbbox_overlaps
@@ -135,7 +136,7 @@ class OBBLabelAssigner:
             jnp.where(orphan, jnp.arange(G), idx[best_pt]))
         pos = pos.at[best_pt].set(jnp.where(orphan, True, pos[best_pt]))
 
-        labels = jnp.where(pos, gt_labels[idx], self.num_classes)
+        labels = jnp.where(pos, take_rows(gt_labels, idx), self.num_classes)
         pt_range = jnp.arange(N)
         bbox_targets = ltrb[pt_range, idx] / strides[:, None]
         angle_targets = ga[idx]

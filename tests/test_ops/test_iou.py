@@ -143,3 +143,27 @@ def test_topk_candidates_cpu_fallback_exact():
     ve, ie = jax.lax.top_k(x, 50)
     np.testing.assert_allclose(np.sort(np.asarray(v)),
                                np.sort(np.asarray(ve)))
+
+
+def test_pallas_spatial_tile_skip_interpret():
+    """The reachability tile skip must be conservative: interpret-mode
+    matrix equals the jnp kernel on spatially clustered boxes (grid-ordered
+    anchors x few gt is the production assignment shape)."""
+    import jax.numpy as jnp
+    from orientedobjectdetection_tpu.ops.iou import box_iou_rotated
+    from orientedobjectdetection_tpu.ops.iou_pallas import (
+        box_iou_rotated_pallas)
+    rng = np.random.default_rng(5)
+    # anchors on a grid (spatial locality), gts in one corner
+    xs, ys = np.meshgrid(np.arange(40) * 25.0, np.arange(40) * 25.0)
+    anchors = np.stack([xs.ravel(), ys.ravel(),
+                        np.full(1600, 40.0), np.full(1600, 20.0),
+                        np.zeros(1600)], -1).astype(np.float32)
+    gts = np.stack([rng.uniform(0, 200, 24), rng.uniform(0, 200, 24),
+                    rng.uniform(20, 80, 24), rng.uniform(20, 80, 24),
+                    rng.uniform(-1.5, 1.5, 24)], -1).astype(np.float32)
+    got = np.asarray(box_iou_rotated_pallas(jnp.asarray(gts),
+                                            jnp.asarray(anchors),
+                                            interpret=True))
+    ref = np.asarray(box_iou_rotated(jnp.asarray(gts), jnp.asarray(anchors)))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
