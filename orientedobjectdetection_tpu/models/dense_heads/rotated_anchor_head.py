@@ -179,18 +179,40 @@ class AnchorHeadLogic:
                 # sigmoid + f32 cast saves a complete HBM pass over the
                 # score maps (~140 MB/batch at 1024 px). Only the k selected
                 # candidates are cast to f32 for decode/NMS precision.
-                logits = scores.reshape(-1, self.cls_out_channels)
-                deltas = deltas.reshape(-1, self.coder.encode_size)
-                n = logits.shape[0]
+                #
+                # Layout rule (measured +7.8 ms/batch when violated): never
+                # reshape the BIG maps to a narrow last dim (5/15 lanes) —
+                # Mosaic relayouts a (176k, 5)-shaped delta map at ~200x
+                # its byte cost. Gather whole (A*E)-channel rows in the
+                # conv's native layout, then split anchor/channel on the
+                # small (k, A, E) result.
+                h, w = scores.shape[:2]
+                hw = h * w
+                A = anchors.shape[0] // hw
+                C = self.cls_out_channels
+                E = self.coder.encode_size
+                logits2 = scores.reshape(hw, A * C)
+                m = logits2.reshape(hw, A, C).max(-1)   # fused reduce
+                m = m.astype(jnp.float32).reshape(-1)   # (hw*A,) small
+                n = hw * A
                 k = min(nms_pre, n) if nms_pre > 0 else n
                 from ...ops.nms import topk_candidates
-                top_vals, top_idx = topk_candidates(
-                    logits.max(-1).astype(jnp.float32), k)
-                sel_scores = jax.nn.sigmoid(
-                    logits[top_idx].astype(jnp.float32))
-                sel_boxes = self.coder.decode(
-                    anchors[top_idx], deltas[top_idx].astype(jnp.float32),
-                    max_shape=img_shape)
+                top_vals, top_idx = topk_candidates(m, k)
+                loc = top_idx // A
+                sub = top_idx % A
+                pick = jax.nn.one_hot(sub, A, dtype=jnp.float32)  # (k, A)
+                row_l = logits2[loc].astype(jnp.float32)
+                sel_logits = jnp.einsum(
+                    'ka,kac->kc', pick, row_l.reshape(k, A, C))
+                row_d = deltas.reshape(hw, A * E)[loc].astype(jnp.float32)
+                sel_d = jnp.einsum(
+                    'ka,kae->ke', pick, row_d.reshape(k, A, E))
+                row_a = anchors.reshape(hw, A * 5)[loc]
+                sel_a = jnp.einsum(
+                    'ka,kae->ke', pick, row_a.reshape(k, A, 5))
+                sel_scores = jax.nn.sigmoid(sel_logits)
+                sel_boxes = self.coder.decode(sel_a, sel_d,
+                                              max_shape=img_shape)
                 cand_boxes.append(sel_boxes)
                 cand_scores.append(sel_scores)
             boxes = jnp.concatenate(cand_boxes, 0)

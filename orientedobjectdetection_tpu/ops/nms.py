@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .iou import box_iou_rotated
 from .iou_pallas import nms_pair_mask_pallas, pallas_available
+from .sort import argsort_desc
 
 NEG_INF = -1e10
 
@@ -181,20 +182,19 @@ def nms_rotated(boxes, scores, iou_threshold: float,
     """
     if valid_mask is not None:
         scores = jnp.where(valid_mask, scores, NEG_INF)
-    if class_ids is None:
-        order = jnp.argsort(-scores)
-        sorted_cls = None
-    else:
-        # class-major, descending score within class (stable two-key sort)
-        order = jnp.lexsort((-scores, class_ids))
-        sorted_cls = class_ids[order]
+    # O(N^2) comparison rank instead of XLA's bitonic sort: the sort was
+    # the single largest NMS cost on TPU (4.6 ms vs ~5 ms for the whole
+    # pairwise-IoU kernel at 8x2000). Exact same ordering (stable,
+    # descending score, class-major when class_ids is given).
+    order, rank = argsort_desc(scores, class_ids)
+    sorted_cls = None if class_ids is None else class_ids[order]
     sorted_boxes = boxes[order]
     over = _upper_pair_mask(sorted_boxes, box_iou_rotated, iou_threshold,
                             block, class_ids=sorted_cls)
     keep_sorted = _greedy_suppress(over)
     if valid_mask is not None:
         keep_sorted = keep_sorted & (scores[order] > NEG_INF / 2)
-    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    keep = keep_sorted[rank]            # unscramble: gather, not scatter
     return keep, order
 
 
@@ -209,14 +209,14 @@ def nms_hbb(boxes, scores, iou_threshold: float, valid_mask=None,
     blocks keep compile time flat)."""
     if valid_mask is not None:
         scores = jnp.where(valid_mask, scores, NEG_INF)
-    order = jnp.argsort(-scores)
+    order, rank = argsort_desc(scores)
     sorted_boxes = boxes[order]
     over = _upper_pair_mask(sorted_boxes, hbb_overlaps, iou_threshold,
                             block=min(block, boxes.shape[0]))
     keep_sorted = _greedy_suppress(over)
     if valid_mask is not None:
         keep_sorted = keep_sorted & (scores[order] > NEG_INF / 2)
-    keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    keep = keep_sorted[rank]
     return keep, order
 
 
@@ -294,7 +294,11 @@ def multiclass_nms_rotated(multi_bboxes,
                               constant_values=NEG_INF)
         top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
         top_labels = jnp.pad(top_labels, (0, pad))
-    out_scores, out_idx = jax.lax.top_k(kept_scores, max_per_img)
+    # exact top-k by comparison rank (max_per_img is within ~2x of N here,
+    # so top_k degenerates to a full bitonic sort — the rank path is ~10x
+    # cheaper at these shapes and keeps the same stable ordering)
+    out_idx = argsort_desc(kept_scores)[0][:max_per_img]
+    out_scores = kept_scores[out_idx]
     out_valid = out_scores > NEG_INF / 2
     out_boxes = jnp.where(out_valid[:, None], top_boxes[out_idx], 0.0)
     out_scores_clean = jnp.where(out_valid, out_scores, 0.0)
