@@ -216,12 +216,19 @@ def _iou_tile_kernel(live_ref, a_ref, bT_ref, o_ref, *, mode: str):
 
 
 def _tile_inter(a, bT, approx: bool = False):
-    """(TN, 5) x (5, TM) -> (inter, area_a, area_b) for one tile."""
-    ax, ay = _corners_col(a)
-    bx, by = _corners_row(bT)
+    """(TN, 5) x (5, TM) -> (inter, area_a, area_b) for one tile.
 
-    area2 = (_clip_edges(ax, ay, bx, by, approx) +
-             _clip_edges(bx, by, ax, ay, approx))
+    Green's theorem over the clipped boundary of the intersection polygon:
+    pass 1 integrates P's edges clipped to Q's half-planes, pass 2 the
+    converse; the sum is twice the signed intersection area. The 4 shared
+    Liang-Barsky denominators (and their reciprocals) are computed once by
+    :func:`_edge_dirs` and reused by both passes via :func:`_flip_dirs`
+    (cross(a, b) = -cross(b, a))."""
+    pv = _vectors_col(a)
+    qv = _vectors_row(bT)
+    dirs = _edge_dirs((pv, qv), approx)
+    area2 = (_clip_pass(pv, qv, dirs) +
+             _clip_pass(qv, pv, _flip_dirs(dirs)))
     inter = jnp.maximum(0.5 * area2, 0.0)
 
     area_a = a[:, 2:3] * a[:, 3:4]            # (TN, 1)
