@@ -4,7 +4,10 @@ import argparse
 import os.path as osp
 import sys
 
-sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
 
 def main():

@@ -12,7 +12,10 @@ import os.path as osp
 import sys
 import time
 
-sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..'))
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..'))
 
 
 def main():

@@ -25,7 +25,10 @@ from functools import partial
 import cv2
 import numpy as np
 
-sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..', '..', '..'))
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..', '..', '..'))
 
 
 def load_dota_ann(ann_path):

@@ -15,8 +15,12 @@ import zipfile
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo')
-sys.path.insert(0, '/root/repo/tools/data/synth')
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..', '..'))
+# sibling module (tools/ is not a package)
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 from generate_synth import generate_synth
 

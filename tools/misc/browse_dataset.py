@@ -10,7 +10,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..'))
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..'))
 
 
 def main():
