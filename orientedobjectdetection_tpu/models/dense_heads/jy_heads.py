@@ -84,8 +84,11 @@ class RotatedMSDCNHead(RotatedYOLOv8Head):
 @HEADS.register_module()
 class RotatedDecoupledObjHead(RotatedYOLOv8Head):
     """Decoupled objectness head (reference
-    ``rotated_objectness_head.py:385``): an extra objectness branch; the
-    classification loss is ObjectnessLoss2/3 over (obj, cls) pairs."""
+    ``rotated_objectness_head.py:23``): the objectness branch has its OWN
+    two-ConvModule 3x3 tower (reference ``_init_layers`` obj_preds,
+    ``rotated_objectness_head.py:101-120``) — fully decoupled from the
+    classification tower; the classification loss is ObjectnessLoss2/3
+    over (obj, cls) pairs."""
 
     @nn.compact
     def __call__(self, feats):
@@ -106,9 +109,14 @@ class RotatedDecoupledObjHead(RotatedYOLOv8Head):
             cls_scores.append(nn.Conv(self.num_classes, (1, 1),
                                       bias_init=bias_init, dtype=self.dtype,
                                       name=f'cls_pred_{i}')(c))
-            obj_preds.append(nn.Conv(1, (1, 1), bias_init=bias_init,
+            o = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'obj_conv_{i}_0')(x)
+            o = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'obj_conv_{i}_1')(o)
+            obj_preds.append(nn.Conv(1, (1, 1),
+                                     bias_init=nn.initializers.ones,
                                      dtype=self.dtype,
-                                     name=f'obj_pred_{i}')(c))
+                                     name=f'obj_pred_{i}')(o))
             r = ConvModule(reg_out, 3, dtype=self.dtype,
                            name=f'reg_conv_{i}_0')(x)
             r = ConvModule(reg_out, 3, dtype=self.dtype,
@@ -179,7 +187,55 @@ class RotatedDecoupledBGHead(RotatedDecoupledObjHead):
 
 @HEADS.register_module()
 class RotatedDecoupled1x1ObjHead(RotatedDecoupledObjHead):
-    """1x1-tower decoupled-objectness variant (reference
-    ``rotated_objectness_head.py:385``); tower depth differences only —
-    same loss wiring."""
-    pass
+    """1x1-decoupled objectness variant (reference
+    ``rotated_objectness_head.py:385,448-530``): obj and cls SHARE the
+    two-ConvModule classification tower and decouple only at the 1x1
+    predictor convs (reference obj_preds/fg_preds are single 1x1 convs fed
+    by the cls tower, ``forward_single``: ``cls_logit = cls_pred(x)``,
+    ``obj = obj_pred(cls_logit)``, ``fg = fg_pred(cls_logit)``). Same loss
+    wiring as the base head."""
+
+    @nn.compact
+    def __call__(self, feats):
+        chans = [make_divisible(c, self.widen_factor)
+                 for c in self.in_channels]
+        reg_out = max(16, chans[0] // 4)
+        cls_out = max(chans[0], self.num_classes)
+
+        cls_scores, bbox_preds, angle_preds, obj_preds = [], [], [], []
+        for i, x in enumerate(feats):
+            # shared tower: NO final pred conv (reference :497-510)
+            c = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'cls_conv_{i}_0')(x)
+            c = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'cls_conv_{i}_1')(c)
+            bias_init = nn.initializers.constant(math.log(
+                5 / self.num_classes /
+                (1024 / self.featmap_strides[i]) ** 2))
+            # fg_preds: 1x1 -> num_classes off the shared tower
+            cls_scores.append(nn.Conv(self.num_classes, (1, 1),
+                                      bias_init=bias_init, dtype=self.dtype,
+                                      name=f'fg_pred_{i}')(c))
+            # obj_preds: 1x1 -> 1 off the SAME shared tower
+            obj_preds.append(nn.Conv(1, (1, 1),
+                                     bias_init=nn.initializers.ones,
+                                     dtype=self.dtype,
+                                     name=f'obj_pred_{i}')(c))
+            r = ConvModule(reg_out, 3, dtype=self.dtype,
+                           name=f'reg_conv_{i}_0')(x)
+            r = ConvModule(reg_out, 3, dtype=self.dtype,
+                           name=f'reg_conv_{i}_1')(r)
+            rp = nn.Conv(4, (1, 1), bias_init=nn.initializers.ones,
+                         dtype=self.dtype, name=f'reg_pred_{i}')(r)
+            bbox_preds.append(jnp.clip(
+                Scale(name=f'scale_{i}')(rp).astype(jnp.float32), 0))
+            a = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'ang_conv_{i}_0')(x)
+            a = ConvModule(cls_out, 3, dtype=self.dtype,
+                           name=f'ang_conv_{i}_1')(a)
+            angle_preds.append(nn.Conv(1, (1, 1),
+                                       bias_init=nn.initializers.ones,
+                                       dtype=self.dtype,
+                                       name=f'ang_pred_{i}')(a))
+        return (tuple(cls_scores), tuple(bbox_preds), tuple(angle_preds),
+                tuple(obj_preds))
