@@ -10,7 +10,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..'))
 
 
 def parse_args():
@@ -35,7 +38,44 @@ def parse_args():
                         'rotated_anchor_head.py:692-787)')
     p.add_argument('--collect-dir', default=None,
                    help='shared dir for the multi-process result gather')
+    p.add_argument('--show', action='store_true',
+                   help='display annotated results interactively '
+                        '(reference tools/test.py --show)')
+    p.add_argument('--show-dir', default=None,
+                   help='directory to write annotated result images '
+                        '(reference tools/test.py --show-dir)')
+    p.add_argument('--show-score-thr', type=float, default=0.3,
+                   help='score threshold for rendered detections')
     return p.parse_args()
+
+
+def _show_results(dataset, results, args, version):
+    """Render per-image detections (reference ``tools/test.py`` show path ->
+    ``detectors/base.py:19`` show_result -> ``core/visualization/image.py:77``
+    imshow_det_rbboxes)."""
+    import os
+
+    import cv2
+
+    from orientedobjectdetection_tpu.core.visualization import \
+        imshow_det_rbboxes
+    if args.show_dir:
+        os.makedirs(args.show_dir, exist_ok=True)
+    for i, result in enumerate(results):
+        info = dataset.data_infos[i]
+        img_path = osp.join(dataset.img_prefix, info['filename'])
+        out_file = (osp.join(args.show_dir, info['filename'])
+                    if args.show_dir else None)
+        img = imshow_det_rbboxes(img_path, result,
+                                 class_names=dataset.CLASSES,
+                                 score_thr=args.show_score_thr,
+                                 version=version, out_file=out_file)
+        if args.show:
+            cv2.imshow(info['filename'], img)
+            cv2.waitKey(0)
+            cv2.destroyAllWindows()
+    if args.show_dir:
+        print(f'annotated images written to {args.show_dir}')
 
 
 def main():
@@ -80,6 +120,11 @@ def main():
                                max_images=n,
                                collect_dir=args.collect_dir)
 
+    if args.show or args.show_dir:
+        version = cfg.model.get('bbox_head', {}).get(
+            'version', cfg.get('angle_version', 'le90'))
+        dataset.data_infos = dataset.data_infos[:n]
+        _show_results(dataset, results, args, version)
     if args.out:
         import pickle
         with open(args.out, 'wb') as f:
