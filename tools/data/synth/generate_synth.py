@@ -23,7 +23,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..', '..'))
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..', '..'))
 
 from orientedobjectdetection_tpu.ops.boxes import obb2poly_np  # noqa: E402
 
@@ -165,6 +168,148 @@ def generate_synth_hrsc(root, num_images=200, size=256, seed=0,
     return root
 
 
+# ---------------------------------------------------------------------------
+# synth-hard: the discriminating protocol (VERDICT round 3 item 3).
+#
+# The 2-class / sparse / large-object protocol above saturates (~1.0 for
+# every family). This one is built to spread families the way DOTA does:
+# - 15 classes (the DOTA v1.0 names) separated by hue + aspect + glyph;
+# - 100-600 instances per scene (exceeding the loader's max_gt so the
+#   truncation path ``datasets/loader.py`` is exercised in training);
+# - small objects: most targets 8-32 px on the long side;
+# - crowding: same-class rows (parking lots / harbors) with near-touching
+#   spacing, plus hard-overlap twins (IoU 0.3-0.6 same-class pairs);
+# - full aspect (1:1 .. 6:1) and angle diversity.
+# ---------------------------------------------------------------------------
+
+DOTA_CLASSES = (
+    'plane', 'baseball-diamond', 'bridge', 'ground-track-field',
+    'small-vehicle', 'large-vehicle', 'ship', 'tennis-court',
+    'basketball-court', 'storage-tank', 'soccer-ball-field', 'roundabout',
+    'harbor', 'swimming-pool', 'helicopter')
+
+# per-class signature: (hue 0-179, long-side range px, aspect h/w range)
+_HARD_STYLE = [
+    (0,   (14, 30), (0.60, 0.95)),   # plane: squarish red
+    (12,  (16, 32), (0.80, 1.00)),   # baseball-diamond
+    (24,  (20, 32), (0.15, 0.30)),   # bridge: long thin
+    (36,  (22, 32), (0.45, 0.70)),   # ground-track-field
+    (48,  (8, 14),  (0.40, 0.60)),   # small-vehicle: tiny
+    (60,  (12, 22), (0.30, 0.50)),   # large-vehicle
+    (72,  (14, 30), (0.20, 0.40)),   # ship: elongated
+    (84,  (14, 24), (0.45, 0.60)),   # tennis-court
+    (96,  (14, 24), (0.50, 0.65)),   # basketball-court
+    (108, (9, 16),  (0.90, 1.00)),   # storage-tank: round-ish
+    (120, (20, 32), (0.60, 0.80)),   # soccer-ball-field
+    (132, (10, 18), (0.90, 1.00)),   # roundabout
+    (144, (18, 32), (0.25, 0.45)),   # harbor
+    (156, (12, 22), (0.40, 0.60)),   # swimming-pool
+    (168, (12, 24), (0.55, 0.85)),   # helicopter
+]
+
+
+def _hard_color(cls, rng):
+    import cv2
+    h = (_HARD_STYLE[cls][0] + int(rng.integers(-4, 5))) % 180
+    hsv = np.uint8([[[h, rng.integers(180, 255), rng.integers(150, 255)]]])
+    return tuple(int(v) for v in cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[0, 0])
+
+
+def _hard_render(img, poly, cls, rng):
+    import cv2
+    pts = poly.reshape(4, 2).astype(np.int32)
+    cv2.fillPoly(img, [pts], _hard_color(cls, rng))
+    # small per-class glyph so hue is not the only cue
+    c = pts.mean(0).astype(np.int32)
+    if cls % 3 == 0:
+        cv2.circle(img, tuple(c), 1, (245, 245, 245), -1)
+    elif cls % 3 == 1:
+        m01, m23 = (pts[0] + pts[1]) // 2, (pts[2] + pts[3]) // 2
+        cv2.line(img, tuple(m01), tuple(m23), (15, 15, 15), 1)
+
+
+def _hard_box(cls, size, rng, cx=None, cy=None, a=None):
+    lo, hi = _HARD_STYLE[cls][1]
+    ar_lo, ar_hi = _HARD_STYLE[cls][2]
+    w = float(rng.uniform(lo, hi))
+    h = w * float(rng.uniform(ar_lo, ar_hi))
+    margin = hi
+    if cx is None:
+        cx = float(rng.uniform(margin, size - margin))
+    if cy is None:
+        cy = float(rng.uniform(margin, size - margin))
+    if a is None:
+        a = float(rng.uniform(-np.pi / 2, np.pi / 2))
+    return cx, cy, w, h, a
+
+
+def generate_synth_hard(root, num_images=120, size=512, seed=0,
+                        split='trainval', n_range=(100, 600)):
+    """Write crowded 15-class scenes in the DOTA on-disk layout."""
+    import cv2
+    img_dir = osp.join(root, split, 'images')
+    ann_dir = osp.join(root, split, 'annfiles')
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    n_cls = len(DOTA_CLASSES)
+    for i in range(num_images):
+        img = rng.integers(55, 110, (size, size, 3), np.uint8)
+        for _ in range(int(rng.integers(4, 10))):     # clutter
+            p0 = tuple(int(v) for v in rng.integers(0, size, 2))
+            p1 = tuple(int(v) for v in rng.integers(0, size, 2))
+            cv2.line(img, p0, p1, (int(rng.integers(80, 140)),) * 3, 1)
+
+        n_target = int(rng.integers(n_range[0], n_range[1] + 1))
+        boxes = []                                    # (cx, cy, w, h, a, cls)
+
+        # ~60% of instances come from same-class cluster rows
+        while len(boxes) < int(0.6 * n_target):
+            cls = int(rng.integers(0, n_cls))
+            k = int(rng.integers(5, 21))
+            theta = float(rng.uniform(-np.pi / 2, np.pi / 2))
+            ux, uy = np.cos(theta), np.sin(theta)
+            margin = _HARD_STYLE[cls][1][1]
+            sx = float(rng.uniform(margin, size - margin))
+            sy = float(rng.uniform(margin, size - margin))
+            _, _, w0, h0, _ = _hard_box(cls, size, rng)
+            step = w0 * float(rng.uniform(0.95, 1.30))  # near-touching rows
+            for j in range(k):
+                cx = sx + j * step * ux + float(rng.normal(0, 1.0))
+                cy = sy + j * step * uy + float(rng.normal(0, 1.0))
+                if not (4 < cx < size - 4 and 4 < cy < size - 4):
+                    break
+                a = theta + float(rng.normal(0, 0.06))
+                a = (a + np.pi / 2) % np.pi - np.pi / 2
+                boxes.append((cx, cy, w0 * float(rng.uniform(0.92, 1.08)),
+                              h0 * float(rng.uniform(0.92, 1.08)), a, cls))
+
+        # scattered singles; ~8% get a hard-overlap same-class twin
+        while len(boxes) < n_target:
+            cls = int(rng.integers(0, n_cls))
+            cx, cy, w, h, a = _hard_box(cls, size, rng)
+            boxes.append((cx, cy, w, h, a, cls))
+            if rng.random() < 0.08 and len(boxes) < n_target:
+                # twin offset ~0.4*w along the long axis -> IoU ~0.3-0.6
+                off = w * float(rng.uniform(0.3, 0.55))
+                boxes.append((cx + off * np.cos(a), cy + off * np.sin(a),
+                              w, h, a + float(rng.normal(0, 0.05)), cls))
+
+        # render back-to-front so overlaps occlude realistically
+        lines = []
+        for cx, cy, w, h, a, cls in boxes:
+            poly = _rect_poly(cx, cy, w, h, a)
+            _hard_render(img, poly, cls, rng)
+            lines.append(' '.join(f'{v:.1f}' for v in poly) +
+                         f' {DOTA_CLASSES[cls]} 0')
+        img = cv2.GaussianBlur(img, (3, 3), 0)
+        stem = f'D{i:04d}'
+        cv2.imwrite(osp.join(img_dir, stem + '.png'), img)
+        with open(osp.join(ann_dir, stem + '.txt'), 'w') as f:
+            f.write('\n'.join(lines) + ('\n' if lines else ''))
+    return root
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument('--root', default='/tmp/synth_dota')
@@ -174,10 +319,17 @@ def main():
     p.add_argument('--split', default='trainval')
     p.add_argument('--hrsc', action='store_true',
                    help='emit the HRSC2016 VOC-XML layout instead of DOTA')
+    p.add_argument('--hard', action='store_true',
+                   help='emit the crowded 15-class synth-hard protocol')
+    p.add_argument('--n-min', type=int, default=100)
+    p.add_argument('--n-max', type=int, default=600)
     args = p.parse_args()
     if args.hrsc:
         generate_synth_hrsc(args.root, args.num_images, args.size, args.seed,
                             args.split)
+    elif args.hard:
+        generate_synth_hard(args.root, args.num_images, args.size, args.seed,
+                            args.split, n_range=(args.n_min, args.n_max))
     else:
         generate_synth(args.root, args.num_images, args.size, args.seed,
                        args.split)
