@@ -76,7 +76,8 @@ class RefineHeadLogic(AnchorHeadLogic):
             k = min(nms_pre, logits.shape[0])
             from ...ops.nms import topk_candidates
             _, top_idx = topk_candidates(
-                logits.max(-1).astype(jnp.float32), k)
+                logits.max(-1).astype(jnp.float32), k,
+                exact=not bool(cfg.get('approx_topk', False)))
             boxes = self.coder.decode(
                 anc[top_idx].astype(jnp.float32),
                 deltas[top_idx].astype(jnp.float32), max_shape=img_shape)

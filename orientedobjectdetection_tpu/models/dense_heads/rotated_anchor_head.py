@@ -166,6 +166,10 @@ class AnchorHeadLogic:
         """
         cfg = cfg if cfg is not None else self.test_cfg
         nms_pre = int(cfg.get('nms_pre', 1000))
+        # candidate pre-selection: exact top-k by default (reference
+        # parity); test_cfg approx_topk=True opts into approx_max_k
+        # (speed/recall trade measured in RESULTS.md "approx top-k")
+        exact_topk = not bool(cfg.get('approx_topk', False))
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         level_anchors = self.prior_generator.grid_priors(featmap_sizes)
 
@@ -197,7 +201,7 @@ class AnchorHeadLogic:
                 n = hw * A
                 k = min(nms_pre, n) if nms_pre > 0 else n
                 from ...ops.nms import topk_candidates
-                top_vals, top_idx = topk_candidates(m, k)
+                top_vals, top_idx = topk_candidates(m, k, exact=exact_topk)
                 loc = top_idx // A
                 sub = top_idx % A
                 pick = jax.nn.one_hot(sub, A, dtype=jnp.float32)  # (k, A)
@@ -230,7 +234,8 @@ class AnchorHeadLogic:
                 score_thr=float(cfg.get('score_thr', 0.05)),
                 iou_thr=float(nms_cfg.get('iou_thr', 0.1)),
                 max_per_img=int(cfg.get('max_per_img', 2000)),
-                max_candidates=int(cfg.get('max_candidates', 2000)))
+                max_candidates=int(cfg.get('max_candidates', 2000)),
+                exact_topk=exact_topk)
 
         return jax.vmap(per_image)(list(cls_scores), list(bbox_preds))
 

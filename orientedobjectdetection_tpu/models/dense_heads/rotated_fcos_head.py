@@ -312,7 +312,8 @@ class RotatedFCOSHead(nn.Module):
                 rank = (jax.nn.sigmoid(logits.max(-1).astype(jnp.float32)) *
                         jax.nn.sigmoid(ctr_l.astype(jnp.float32)))
                 from ...ops.nms import topk_candidates
-                _, top_idx = topk_candidates(rank, k)
+                _, top_idx = topk_candidates(
+                    rank, k, exact=not bool(cfg.get('approx_topk', False)))
                 sel_scores = jax.nn.sigmoid(
                     logits[top_idx].astype(jnp.float32))
                 sel_ctr = jax.nn.sigmoid(ctr_l[top_idx].astype(jnp.float32))

@@ -693,7 +693,9 @@ class RotatedRepPointsHead(nn.Module):
             scores = jax.nn.sigmoid(scores)
             k = min(nms_pre, scores.shape[0])
             from ...ops.nms import topk_candidates
-            _, top_idx = topk_candidates(scores.max(-1), k)
+            _, top_idx = topk_candidates(
+                scores.max(-1), k,
+                exact=not bool(cfg.get('approx_topk', False)))
             sel_sets = pointsets[top_idx]
             boxes = poly2obb(self.pointsets_to_polys(sel_sets), self.version)
             sc = jnp.concatenate([scores[top_idx],

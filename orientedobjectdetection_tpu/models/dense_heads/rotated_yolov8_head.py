@@ -306,7 +306,8 @@ class RotatedYOLOv8Head(nn.Module):
             k = min(nms_pre, logits.shape[0])
             from ...ops.nms import topk_candidates
             _, top_idx = topk_candidates(
-                logits.max(-1).astype(jnp.float32), k)
+                logits.max(-1).astype(jnp.float32), k,
+                exact=not bool(cfg.get('approx_topk', False)))
             sel_scores = jax.nn.sigmoid(logits[top_idx].astype(jnp.float32))
             pred_sel = jnp.concatenate(
                 [boxes[top_idx].astype(jnp.float32) *

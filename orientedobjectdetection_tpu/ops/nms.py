@@ -27,14 +27,18 @@ from .sort import argsort_desc
 NEG_INF = -1e10
 
 
-def topk_candidates(scores, k: int, exact: bool = False):
+def topk_candidates(scores, k: int, exact: bool = True):
     """Top-k for candidate PRE-selection (nms_pre / max_candidates caps).
 
-    On TPU this uses ``jax.lax.approx_max_k`` (the hardware-native
-    aggregated top-k; 6x faster than exact top_k at 129k -> 2000 on v5e,
-    recall >= 0.95) — safe wherever the selection feeds an order-insensitive
-    consumer (NMS re-sorts by score). Final OUTPUT ordering must stay exact:
-    pass ``exact=True`` (or call ``jax.lax.top_k``) for those sites."""
+    Exact ``jax.lax.top_k`` by DEFAULT — the reference's candidate
+    selection is exact (``rotated_anchor_head.py:514-690``), and
+    ``approx_max_k(recall_target=0.95)`` silently drops up to ~5% of true
+    top candidates on TPU. Pass ``exact=False`` (plumbed from the
+    ``test_cfg`` key ``approx_topk=True``) to opt into the hardware-native
+    aggregated top-k (6x faster than exact top_k at 129k -> 2000 on v5e)
+    where the selection feeds an order-insensitive consumer (NMS re-sorts
+    by score) and the recall loss has been judged acceptable. Measured
+    accuracy/speed deltas: RESULTS.md "approx top-k"."""
     if (not exact and k < scores.shape[-1]
             and jnp.issubdtype(scores.dtype, jnp.floating)
             and pallas_available()):
@@ -226,7 +230,8 @@ def multiclass_nms_rotated(multi_bboxes,
                            iou_thr: float,
                            max_per_img: int,
                            score_factors=None,
-                           max_candidates: int = 2000):
+                           max_candidates: int = 2000,
+                           exact_topk: bool = True):
     """Multi-class rotated NMS via the class-offset trick.
 
     Static-shape rework of reference
@@ -267,7 +272,7 @@ def multiclass_nms_rotated(multi_bboxes,
 
     # Cap the NMS problem size: keep top max_candidates by score.
     k = min(max_candidates, scores.shape[0])
-    top_scores, top_idx = topk_candidates(scores, k)
+    top_scores, top_idx = topk_candidates(scores, k, exact=exact_topk)
     top_boxes = bboxes[top_idx]
     top_labels = labels[top_idx]
     top_valid = top_scores > NEG_INF / 2
