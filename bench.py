@@ -71,7 +71,11 @@ def _timed(fn, *args, iters=ITERS, warmup=WARMUP):
     return (time.perf_counter() - t0) / iters
 
 
-def _train_ips(det, variables, images, batch):
+# bf16 peak of one TPU v5e (v5 lite) chip; MFU = achieved FLOP/s / peak.
+PEAK_BF16_FLOPS = 197e12
+
+
+def _train_ips(det, variables, images, batch, want_flops=False):
     import optax
     from orientedobjectdetection_tpu.parallel.train_state import (
         TrainState, make_train_step)
@@ -92,6 +96,12 @@ def _train_ips(det, variables, images, batch):
         gt_labels=jnp.zeros((batch, g), jnp.int32),
         gt_mask=jnp.zeros((batch, g), bool).at[:, :8].set(True))
     step_fn = jax.jit(make_train_step(det, tx), donate_argnums=0)
+    flops = float('nan')
+    if want_flops:
+        # analytic cost of the WHOLE train step (fwd + loss + bwd + SGD)
+        # from the compiled program, for the MFU line
+        cost = step_fn.lower(state, tb).compile().cost_analysis()
+        flops = cost.get('flops', float('nan')) if cost else float('nan')
 
     holder = [state]
 
@@ -101,6 +111,8 @@ def _train_ips(det, variables, images, batch):
 
     t = _timed(train_once, tb, iters=20, warmup=3)
     del holder
+    if want_flops:
+        return batch / t, flops / t
     return batch / t
 
 
@@ -159,8 +171,29 @@ def main():
     mboxes = n / (t_loop / K) / 1e6
 
     # ---- steady-state train step at batch 8 and 16 ------------------------
-    train8 = _train_ips(det, variables, images, 8)
+    train8, flops_per_sec = _train_ips(det, variables, images, 8,
+                                       want_flops=True)
     train16 = _train_ips(det, variables, images, 16)
+    train_mfu = flops_per_sec / PEAK_BF16_FLOPS
+
+    # ---- second north-star: Oriented R-CNN e2e inference ------------------
+    # (reference baseline 21.2 fps fp16 on a 1080 Ti,
+    # configs/oriented_rcnn/README.md / BASELINE.md)
+    from orientedobjectdetection_tpu.utils import Config
+    orcnn_cfg = Config.fromfile(
+        'configs/oriented_rcnn/oriented_rcnn_r50_fpn_1x_dota_le90.py')
+    orcnn = build_detector(dict(orcnn_cfg.model), dtype=jnp.bfloat16)
+    orcnn_vars = jax.jit(orcnn.init)(rng, images[:1])
+
+    @jax.jit
+    def orcnn_infer(variables, images):
+        outputs = orcnn.apply(variables, images)
+        return orcnn.bboxes_from_outputs(outputs)
+
+    # batch 4: the two-stage RoI path at batch 8 x 1024^2 exceeds the
+    # 16 GB v5e HBM (measured 16.25G needed)
+    t_orcnn = _timed(orcnn_infer, orcnn_vars, images[:4])
+    orcnn_fps = 4 / t_orcnn
 
     print(json.dumps({
         'metric': 'retinanet_r50_1024_infer_imgs_per_sec',
@@ -169,6 +202,9 @@ def main():
         'vs_baseline': round(fps / BASELINE_FPS, 2),
         'train_imgs_per_sec_b8': round(train8, 2),
         'train_imgs_per_sec_b16': round(train16, 2),
+        'train_mfu_b8': round(train_mfu, 4),
+        'oriented_rcnn_infer_imgs_per_sec': round(orcnn_fps, 2),
+        'oriented_rcnn_vs_baseline': round(orcnn_fps / 21.2, 2),
         'nms_rotated_mboxes_per_sec': round(mboxes, 3),
         'nms_decode_share_of_e2e': round(nms_share, 3),
     }))

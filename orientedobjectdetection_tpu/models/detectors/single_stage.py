@@ -68,10 +68,11 @@ class RotatedSingleStageDetector(nn.Module):
 
     @nn.nowrap
     def bboxes_from_outputs(self, outputs, img_shape=None, scale_factor=None,
-                            rescale=False):
+                            rescale=False, cfg=None):
         head = self.make_head()
         return head.get_bboxes(outputs, img_shape=img_shape,
-                               scale_factor=scale_factor, rescale=rescale)
+                               scale_factor=scale_factor, rescale=rescale,
+                               cfg=cfg)
 
 
 @DETECTORS.register_module()
