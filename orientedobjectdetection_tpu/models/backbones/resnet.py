@@ -128,6 +128,7 @@ class TiledStemConv(nn.Module):
         cin = x.shape[-1]
         w = self.param('kernel', nn.initializers.lecun_normal(),
                        (7, 7, cin, self.features), jnp.float32)
+        x = x.astype(self.dtype)   # loader feeds f32; compute in bf16
         B, H, W, _ = x.shape
         if H % 4 or W % 4:
             return jax.lax.conv_general_dilated(
