@@ -6,7 +6,7 @@
 # the host has one core) and evaluates the final state; the per-family mAP
 # spread is the point (the saturated tiny-synth protocol scores ~1.0
 # everywhere). Results land in work_dirs/hard/<family>/.
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/../../.."
 
 if [ ! -d /tmp/synth_hard/trainval/images ]; then
@@ -17,12 +17,15 @@ if [ ! -d /tmp/synth_hard/trainval/images ]; then
 fi
 
 EPOCHS="${EPOCHS:-12}"
+PER_FAMILY_TIMEOUT="${PER_FAMILY_TIMEOUT:-2400}"
 for cfg in configs/*/*hard_synth.py; do
   name=$(basename "$cfg" .py)
   echo "==== $name ===="
-  python tools/train.py "$cfg" --bf16 --work-dir "work_dirs/hard/$name" \
+  # keep going if one family fails or wedges: the SPREAD is the deliverable
+  timeout "$PER_FAMILY_TIMEOUT" \
+    python tools/train.py "$cfg" --bf16 --work-dir "work_dirs/hard/$name" \
     --cfg-options "runner.max_epochs=$EPOCHS" "evaluation.interval=4" \
-    2>&1 | tail -4
+    2>&1 | tail -4 || echo "!!!! $name FAILED (rc=$?)"
 done
 
 python - <<'EOF'

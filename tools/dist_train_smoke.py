@@ -40,10 +40,14 @@ CONFIG = osp.join(REPO, 'configs', 'rotated_retinanet',
 WORKER = r'''
 import json, os, sys
 sys.path.insert(0, {repo!r})
+import jax
+# The axon plugin's sitecustomize force-sets jax_platforms='axon,cpu',
+# overriding the JAX_PLATFORMS env var — pin the virtual-CPU platform
+# programmatically (same workaround as tests/conftest.py).
+jax.config.update('jax_platforms', 'cpu')
 from orientedobjectdetection_tpu.utils import Config
 from orientedobjectdetection_tpu.apis.train import (maybe_init_distributed,
                                                     train_detector)
-import jax
 
 maybe_init_distributed()
 assert jax.process_count() == 2, jax.process_count()

@@ -46,6 +46,9 @@ def parse_args():
                         '(reference tools/test.py --show-dir)')
     p.add_argument('--show-score-thr', type=float, default=0.3,
                    help='score threshold for rendered detections')
+    p.add_argument('--cfg-options', nargs='+', default=[],
+                   help='a.b.c=v deep config overrides '
+                        '(reference tools/test.py --cfg-options)')
     return p.parse_args()
 
 
@@ -87,6 +90,17 @@ def main():
     from orientedobjectdetection_tpu.utils import Config
 
     cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        import ast
+        opts = {}
+        for item in args.cfg_options:
+            key, _, val = item.partition('=')
+            try:
+                val = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                pass
+            opts[key] = val
+        cfg.merge_from_dict(opts)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     mesh = None
     if args.data_parallel:
