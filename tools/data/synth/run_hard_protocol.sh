@@ -9,7 +9,10 @@
 set -e -o pipefail
 cd "$(dirname "$0")/../../.."
 
-if [ ! -d /tmp/synth_hard/trainval/images ]; then
+# count files, not just the dir: a dead generation run leaves a partial dir
+if [ "$(ls /tmp/synth_hard/trainval/images 2>/dev/null | wc -l)" -lt 120 ] ||
+   [ "$(ls /tmp/synth_hard/val/images 2>/dev/null | wc -l)" -lt 24 ]; then
+  rm -rf /tmp/synth_hard
   python tools/data/synth/generate_synth.py --hard --root /tmp/synth_hard \
     --num-images 120 --size 512 --seed 0
   python tools/data/synth/generate_synth.py --hard --root /tmp/synth_hard \
@@ -20,6 +23,11 @@ EPOCHS="${EPOCHS:-12}"
 PER_FAMILY_TIMEOUT="${PER_FAMILY_TIMEOUT:-2400}"
 for cfg in configs/*/*hard_synth.py; do
   name=$(basename "$cfg" .py)
+  if grep -q "\"epoch\": $EPOCHS, \"mode\": \"val\"" \
+       "work_dirs/hard/$name/train_log.jsonl" 2>/dev/null; then
+    echo "==== $name (already done, skipping) ===="
+    continue
+  fi
   echo "==== $name ===="
   # keep going if one family fails or wedges: the SPREAD is the deliverable
   timeout "$PER_FAMILY_TIMEOUT" \
