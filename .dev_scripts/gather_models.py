@@ -1,63 +1,124 @@
-"""Collect best checkpoints + metrics for release (reference
-``.dev_scripts/gather_models.py``): scans work_dirs for train_log.jsonl +
-checkpoints, picks the last (or best-eval) checkpoint per config, publishes
-it (strip optimizer, sha256 suffix) into an output directory with a
-model-index style summary.
+"""Gather trained models for release (reference ``.dev_scripts/gather_models.py``).
 
-    python .dev_scripts/gather_models.py work_dirs/ gathered/
+Walks ``work_dirs/`` (or an explicit list of experiment dirs), and for every
+experiment that has a training log:
+
+- picks the best-mAP checkpoint if present, else the latest rotation ckpt;
+- strips optimizer state (keeps ``params``/``batch_stats``) and appends a
+  sha256 content hash to the filename, mirroring
+  ``tools/model_converters/publish_model.py``;
+- reads the final/best eval metrics out of ``train_log.jsonl``;
+- copies the matching config next to the model;
+- emits a ``model_index.json`` summary compatible with the per-family
+  ``metafile.yml`` layout under ``configs/``.
+
+    python .dev_scripts/gather_models.py --root work_dirs --out models/
+
+Unlike the reference (which keys epochs out of mmcv logs and .pth files,
+reference ``gather_models.py:29-66``), checkpoints here are flax msgpack
+pytrees and logs are JSONL, so everything is parsed with the stdlib.
 """
 import argparse
+import glob
+import hashlib
 import json
 import os
 import os.path as osp
 import shutil
-import subprocess
-import sys
 
-REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+from flax import serialization
+
+
+def _best_metrics(log_path):
+    """(best_mAP, final_record) from a train_log.jsonl."""
+    best, final = None, None
+    with open(log_path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if 'mAP' in rec:
+                final = rec
+                if best is None or rec['mAP'] > best['mAP']:
+                    best = rec
+    return best, final
+
+
+def _pick_checkpoint(exp_dir):
+    best = sorted(glob.glob(osp.join(exp_dir, 'best_*.msgpack')))
+    if best:
+        return best[-1]
+    ckpts = sorted(glob.glob(osp.join(exp_dir, 'ckpt_*.msgpack')))
+    return ckpts[-1] if ckpts else None
+
+
+def _publish(ckpt_path, out_dir, stem):
+    with open(ckpt_path, 'rb') as f:
+        state = serialization.msgpack_restore(f.read())
+    if isinstance(state, dict):
+        published = {k: v for k, v in state.items()
+                     if k in ('params', 'batch_stats')} or state
+    else:
+        published = state
+    blob = serialization.msgpack_serialize(published)
+    sha = hashlib.sha256(blob).hexdigest()[:8]
+    out = osp.join(out_dir, f'{stem}-{sha}.msgpack')
+    with open(out, 'wb') as f:
+        f.write(blob)
+    return out
+
+
+def _find_config(name):
+    hits = glob.glob(osp.join('configs', '*', name + '.py'))
+    return hits[0] if hits else None
 
 
 def main():
-    p = argparse.ArgumentParser()
-    p.add_argument('root', help='work_dirs root to scan')
-    p.add_argument('out', help='output directory')
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument('--root', default='work_dirs',
+                   help='directory holding experiment work dirs')
+    p.add_argument('--out', default='models',
+                   help='output directory for published models')
+    p.add_argument('--min-map', type=float, default=None,
+                   help='skip experiments whose best mAP is below this')
     args = p.parse_args()
+
     os.makedirs(args.out, exist_ok=True)
-
     index = []
-    for d in sorted(os.listdir(args.root)):
-        wd = osp.join(args.root, d)
-        if not osp.isdir(wd):
+    exp_dirs = sorted(
+        d for d in glob.glob(osp.join(args.root, '**'), recursive=True)
+        if osp.isfile(osp.join(d, 'train_log.jsonl')))
+    for exp_dir in exp_dirs:
+        name = osp.basename(exp_dir.rstrip('/'))
+        best, final = _best_metrics(osp.join(exp_dir, 'train_log.jsonl'))
+        ckpt = _pick_checkpoint(exp_dir)
+        if ckpt is None or best is None:
+            print(f'skip {name}: no checkpoint/eval record')
             continue
-        ckpts = sorted([f for f in os.listdir(wd)
-                        if f.startswith('ckpt_') and f.endswith('.msgpack')],
-                       key=lambda f: int(f.split('_')[1].split('.')[0]))
-        if not ckpts:
+        if args.min_map is not None and best['mAP'] < args.min_map:
+            print(f"skip {name}: best mAP {best['mAP']:.4f} < {args.min_map}")
             continue
-        last = osp.join(wd, ckpts[-1])
-        entry = {'config': d, 'checkpoint': ckpts[-1]}
-        log = osp.join(wd, 'train_log.jsonl')
-        if osp.exists(log):
-            with open(log) as f:
-                lines = [json.loads(x) for x in f if x.strip()]
-            if lines:
-                entry['final_metrics'] = lines[-1]
-        dst = osp.join(args.out, f'{d}.msgpack')
-        r = subprocess.run(
-            [sys.executable,
-             osp.join(REPO, 'tools', 'model_converters', 'publish_model.py'),
-             last, dst], capture_output=True, text=True)
-        if r.returncode == 0:
-            entry['published'] = r.stdout.strip().split()[-1]
-        else:
-            shutil.copy(last, dst)
-            entry['published'] = dst
+        model_dir = osp.join(args.out, name)
+        os.makedirs(model_dir, exist_ok=True)
+        published = _publish(ckpt, model_dir, name)
+        cfg = _find_config(name)
+        if cfg:
+            shutil.copy(cfg, model_dir)
+        entry = dict(
+            name=name,
+            config=cfg,
+            weights=published,
+            best_mAP=round(float(best['mAP']), 4),
+            best_step=int(best.get('step', -1)),
+            final_mAP=round(float(final['mAP']), 4),
+        )
         index.append(entry)
+        print(f"gathered {name}: mAP {entry['best_mAP']} -> {published}")
 
-    out_index = osp.join(args.out, 'model_index.json')
-    with open(out_index, 'w') as f:
-        json.dump(index, f, indent=2)
-    print(f'gathered {len(index)} models -> {out_index}')
+    with open(osp.join(args.out, 'model_index.json'), 'w') as f:
+        json.dump(index, f, indent=1)
+    print(f'{len(index)} models -> {osp.join(args.out, "model_index.json")}')
 
 
 if __name__ == '__main__':
