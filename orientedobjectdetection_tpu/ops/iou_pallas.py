@@ -248,20 +248,26 @@ def _tile_iou(a, bT, mode: str):
     return inter / jnp.maximum(denom, 1e-6)
 
 
-def _pair_mask_kernel(rmax_ref, cmin_ref, a_ref, bT_ref, o_ref, *,
-                      thr: float, tn: int, tm: int, approx: bool = True):
+def _pair_mask_kernel(rmax_ref, cmin_ref, rcls_ref, ccls_ref, a_ref, bT_ref,
+                      o_ref, *, thr: float, tn: int, tm: int,
+                      approx: bool = True):
     """Strict-upper-triangle thresholded pair mask for NMS: tile (i, j)
-    computes (iou > thr) & (col > row); tiles strictly below the diagonal
-    skip the clip math entirely (the pair mask is symmetric work the
-    full-matrix kernel would waste — ~2x fewer clip evaluations).
+    computes (iou > thr) & (col > row) & (same class); tiles strictly below
+    the diagonal skip the clip math entirely (the pair mask is symmetric
+    work the full-matrix kernel would waste — ~2x fewer clip evaluations).
 
-    Class skip: when boxes are CLASS-MAJOR sorted and carry the multiclass
-    class offset (cross-class IoU structurally zero), a tile whose row
-    classes all precede its column classes has no same-class pair, so the
-    clip math is skipped. ``rmax_ref``/``cmin_ref`` are the FULL per-tile
-    max-row-class / min-col-class vectors in SMEM (Mosaic requires sub-8x128
-    blocks to be whole arrays), indexed by program id; callers without
-    class structure pass constants that never skip.
+    Class handling is two-level and matches the jnp fallback
+    (``ops.nms._upper_pair_mask``) exactly:
+    - per-pair: ``rcls_ref``/``ccls_ref`` carry the row/column class ids
+      ((tn, 1) and (1, tm) VMEM vectors); cross-class pairs are masked out
+      of live tiles, so suppression is intra-class by construction — not
+      merely by the caller's class-offset layout.
+    - per-tile skip: when boxes are CLASS-MAJOR sorted, a tile whose row
+      classes all precede its column classes has no same-class pair, so the
+      clip math is skipped. ``rmax_ref``/``cmin_ref`` are the FULL per-tile
+      max-row-class / min-col-class vectors in SMEM (Mosaic requires
+      sub-8x128 blocks to be whole arrays), indexed by program id; callers
+      without class structure pass constants that never skip.
     With DOTA's 15 classes this prunes the 2000-candidate NMS from ~136
     active tiles to ~30."""
     i = pl.program_id(0)
@@ -286,11 +292,12 @@ def _pair_mask_kernel(rmax_ref, cmin_ref, a_ref, bT_ref, o_ref, *,
         denom = area_a + area_b - inter
         row = i * tn + jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 0)
         col = j * tm + jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+        same = rcls_ref[:] == ccls_ref[:]        # (tn, 1) == (1, tm)
         # i1 -> i32 -> i8: a direct i1 select into the (32, 128)-tiled i8
         # output is an unsupported Mosaic relayout; widening to i32 first
         # keeps the mask in its native (8, 128) tiling and the i32 -> i8
         # truncation is a supported pack.
-        m = ((inter > thr * denom) & (col > row)).astype(jnp.int32)
+        m = ((inter > thr * denom) & (col > row) & same).astype(jnp.int32)
         o_ref[:] = m.astype(jnp.int8)
 
 
@@ -402,10 +409,12 @@ def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
     dominant HBM tensor on the NMS path and every greedy-fixpoint round
     re-reads it, so 1-byte elements cut that traffic 4x.
 
-    ``class_ids`` (optional, (N,) int32, CLASS-MAJOR sorted to match
-    ``boxes``): enables the per-tile class skip — only valid when
-    cross-class pairs can never overlap (multiclass class-offset trick,
-    reference ``bbox_nms_rotated.py:67-80``)."""
+    ``class_ids`` (optional, (N,) int32): suppression becomes intra-class —
+    cross-class pairs are masked per pair inside the kernel, exactly like
+    the jnp fallback. CLASS-MAJOR sorting additionally enables the per-tile
+    class skip; the multiclass class-offset layout (reference
+    ``bbox_nms_rotated.py:67-80``) makes the per-pair mask a no-op and the
+    skip a pure perf win."""
     n = boxes.shape[0]
     pad_to = max(tile_n, tile_m)
     n_pad = -(-n // pad_to) * pad_to
@@ -413,14 +422,17 @@ def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
 
     nb_r, nb_c = n_pad // tile_n, n_pad // tile_m
     if class_ids is None:
-        # constants that never trigger the class skip
+        # constants: never skip a tile, every pair "same class"
         row_max = jnp.full((nb_r, 1), 1, jnp.int32)
         col_min = jnp.zeros((nb_c, 1), jnp.int32)
+        cls = jnp.zeros((n_pad,), jnp.int32)
     else:
         cls = jnp.pad(class_ids.astype(jnp.int32), (0, n_pad - n),
                       constant_values=jnp.iinfo(jnp.int32).max // 2)
         row_max = cls.reshape(nb_r, tile_n).max(1, keepdims=True)
         col_min = cls.reshape(nb_c, tile_m).min(1, keepdims=True)
+    cls_rows = cls.reshape(n_pad, 1)
+    cls_cols = cls.reshape(1, n_pad)
 
     out = pl.pallas_call(
         functools.partial(_pair_mask_kernel, thr=float(iou_thr),
@@ -432,6 +444,10 @@ def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((nb_c, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_n, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, 5), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((5, tile_m), lambda i, j: (0, j),
@@ -444,7 +460,7 @@ def nms_pair_mask_pallas(boxes, iou_thr: float, interpret: bool = False,
             bytes_accessed=(tile_n + tile_m) * 20 + tile_n * tile_m,
             transcendentals=4 * (tile_n + tile_m)),
         interpret=interpret,
-    )(row_max, col_min, b1, b2T)
+    )(row_max, col_min, cls_rows, cls_cols, b1, b2T)
     return out[:n, :n].astype(bool)
 
 

@@ -121,6 +121,13 @@ def _upper_pair_mask(boxes, iou_fn, iou_thr, block=None, class_ids=None):
         m = iou_fn(row_boxes, col_boxes) > iou_thr
         rows.append(jnp.pad(m, ((0, 0), (r * block, 0))))
     mask = jnp.concatenate(rows, 0)[:n, :n]
+    if class_ids is not None:
+        # Same intra-class pruning the Pallas kernel folds into its tile
+        # skip: cross-class pairs never suppress (the class-offset trick
+        # guarantees they cannot overlap anyway, but keeping the masks
+        # identical means the jnp fallback and the TPU kernel execute the
+        # same suppression logic, not merely logic with the same outcome).
+        mask = mask & (class_ids[:, None] == class_ids[None, :])
     idx = jnp.arange(n)
     return mask & (idx[:, None] < idx[None, :])
 
@@ -170,12 +177,14 @@ def nms_rotated(boxes, scores, iou_threshold: float,
             ``valid_mask``).
         iou_threshold: suppression threshold.
         valid_mask: optional (N,) bool marking real candidates.
-        class_ids: optional (N,) int32. ONLY pass when cross-class pairs
-            can never overlap (the multiclass class-offset trick): the
-            greedy pass then visits candidates class-major (same keep set,
-            since suppression is intra-class) and the Pallas pair-mask
-            kernel prunes whole cross-class tiles. Padded entries should
-            carry a class larger than any real one.
+        class_ids: optional (N,) int32. Suppression becomes intra-class:
+            cross-class pairs never suppress (identical per-pair masking on
+            the jnp and Pallas paths). The greedy pass visits candidates
+            class-major (same keep set, since suppression is intra-class)
+            and the Pallas kernel additionally prunes whole cross-class
+            tiles. With the multiclass class-offset layout the per-pair
+            mask is a no-op and the pruning is a pure perf win. Padded
+            entries should carry a class larger than any real one.
 
     Returns:
         keep: (N,) bool — survivors, in the *original* index order.

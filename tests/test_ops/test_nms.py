@@ -101,6 +101,35 @@ def test_class_major_nms_same_keep_set():
                                   np.asarray(keep_cls))
 
 
+def test_jnp_pair_mask_class_prune_matches_pallas():
+    """The jnp fallback's class_ids pruning must execute the SAME
+    suppression logic as the Pallas kernel's class-tile skip — checked on
+    boxes where cross-class pairs genuinely overlap (no class offset), so
+    a fallback that ignored class_ids would differ."""
+    from orientedobjectdetection_tpu.ops.iou_pallas import \
+        nms_pair_mask_pallas
+    from orientedobjectdetection_tpu.ops.nms import _upper_pair_mask
+    rng = np.random.default_rng(11)
+    n = 96
+    labels = np.sort(rng.integers(0, 4, n)).astype(np.int32)   # class-major
+    boxes = np.stack([rng.uniform(0, 120, n), rng.uniform(0, 120, n),
+                      rng.uniform(20, 80, n), rng.uniform(20, 80, n),
+                      rng.uniform(-1.5, 1.5, n)], -1).astype(np.float32)
+    jnp_mask = np.asarray(_upper_pair_mask(
+        jnp.asarray(boxes), box_iou_rotated, 0.2,
+        class_ids=jnp.asarray(labels)))
+    pl_mask = np.asarray(nms_pair_mask_pallas(
+        jnp.asarray(boxes), 0.2, interpret=True,
+        class_ids=jnp.asarray(labels)))
+    np.testing.assert_array_equal(jnp_mask, pl_mask[:n, :n])
+    # and it must actually prune: some cross-class pair overlaps here
+    full = np.asarray(_upper_pair_mask(jnp.asarray(boxes),
+                                       box_iou_rotated, 0.2))
+    cross = labels[:, None] != labels[None, :]
+    assert (full & cross).any()
+    assert not (jnp_mask & cross).any()
+
+
 def test_pallas_pair_mask_class_skip_interpret():
     """The kernel's class-range tile skip must not change the mask when
     cross-class IoU is zero (class-offset layout, class-major sorted)."""
