@@ -30,14 +30,23 @@ from ..utils.config import Config
 
 
 class DetectorBundle:
-    """Built detector + params + compiled inference fn."""
+    """Built detector + params + compiled inference fn.
+
+    ``device_norm``: optional img_norm_cfg dict. When set, the bundle
+    normalizes INSIDE the compiled program (``normalize_images``) and every
+    caller must feed RAW (uint8 BGR) images — the inference entry points
+    below check this flag and skip their host normalization. uint8 batches
+    cross to the device at 1/4 the bytes and the normalize fuses into the
+    stem; at 1024 px this removes ~17 ms/img of host work (the 1-core host
+    is the eval bottleneck, RESULTS.md "input pipeline")."""
 
     def __init__(self, cfg, detector, variables, dtype=jnp.float32,
-                 mesh=None):
+                 mesh=None, device_norm=None):
         self.cfg = cfg
         self.detector = detector
         self.variables = variables
         self.dtype = dtype
+        self.device_norm = dict(device_norm) if device_norm else None
         head = cfg.model.get('bbox_head')
         if head is None and cfg.model.get('roi_head'):  # two-stage/cascade
             head = cfg.model['roi_head']['bbox_head']
@@ -63,6 +72,9 @@ class DetectorBundle:
         self._infer = jax.jit(self._infer_impl)
 
     def _infer_impl(self, variables, images):
+        if self.device_norm is not None:
+            from ..parallel.train_state import normalize_images
+            images = normalize_images(images, self.device_norm)
         outputs = self.detector.apply(variables, images.astype(self.dtype))
         outputs = jax.tree.map(lambda x: x.astype(jnp.float32), outputs)
         return self.detector.bboxes_from_outputs(outputs)
@@ -75,7 +87,7 @@ class DetectorBundle:
 
 def init_detector(config, checkpoint: Optional[str] = None,
                   dtype=jnp.float32, seed: int = 0,
-                  mesh=None) -> DetectorBundle:
+                  mesh=None, device_norm=None) -> DetectorBundle:
     if isinstance(config, str):
         config = Config.fromfile(config)
     detector = build_detector(dict(config.model), dtype=dtype)
@@ -92,20 +104,24 @@ def init_detector(config, checkpoint: Optional[str] = None,
         variables = {'params': restored['params']}
         if restored.get('batch_stats'):
             variables['batch_stats'] = restored['batch_stats']
-    return DetectorBundle(config, detector, variables, dtype, mesh=mesh)
+    return DetectorBundle(config, detector, variables, dtype, mesh=mesh,
+                          device_norm=device_norm)
 
 
 def _prep_image(img, img_norm_cfg=None):
+    """Load + host-normalize. ``img_norm_cfg=None`` returns the RAW uint8
+    BGR image (for device-normalizing bundles)."""
     import cv2
     if isinstance(img, str):
         img = cv2.imread(img, cv2.IMREAD_COLOR)
+    if img_norm_cfg is None:
+        return img
     img = img.astype(np.float32)
-    if img_norm_cfg is not None:
-        mean = np.asarray(img_norm_cfg['mean'], np.float32)
-        std = np.asarray(img_norm_cfg['std'], np.float32)
-        if img_norm_cfg.get('to_rgb', True):
-            img = img[..., ::-1]
-        img = (img - mean) / std
+    mean = np.asarray(img_norm_cfg['mean'], np.float32)
+    std = np.asarray(img_norm_cfg['std'], np.float32)
+    if img_norm_cfg.get('to_rgb', True):
+        img = img[..., ::-1]
+    img = (img - mean) / std
     return img
 
 
@@ -124,12 +140,15 @@ def results_to_per_class(dets, labels, valid, num_classes: int):
 def inference_detector(bundle: DetectorBundle, img,
                        img_norm_cfg=None) -> List[np.ndarray]:
     """Single-image inference; pads to the bundle's static size."""
-    if img_norm_cfg is None:
+    if bundle.device_norm is not None:
+        img_norm_cfg = None                # bundle normalizes on device
+    elif img_norm_cfg is None:
         img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                             std=[58.395, 57.12, 57.375], to_rgb=True)
     img = _prep_image(img, img_norm_cfg)
     pad = bundle.cfg.get('pad_size') or (1024, 1024)
-    canvas = np.zeros((pad[0], pad[1], 3), np.float32)
+    canvas = np.zeros((pad[0], pad[1], 3), img.dtype
+                      if img.dtype == np.uint8 else np.float32)
     h = min(img.shape[0], pad[0])
     w = min(img.shape[1], pad[1])
     canvas[:h, :w] = img[:h, :w]
@@ -149,7 +168,9 @@ def inference_detector_by_patches(bundle: DetectorBundle, img,
     import cv2
     if isinstance(img, str):
         img = cv2.imread(img, cv2.IMREAD_COLOR)
-    if img_norm_cfg is None:
+    if bundle.device_norm is not None:
+        img_norm_cfg = None                # bundle normalizes on device
+    elif img_norm_cfg is None:
         img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                             std=[58.395, 57.12, 57.375], to_rgb=True)
     height, width = img.shape[:2]
@@ -163,9 +184,10 @@ def inference_detector_by_patches(bundle: DetectorBundle, img,
     n_win = len(windows)
     n_batches = -(-n_win // bs)
     all_dets, all_labels, all_valid = [], [], []
+    tile_dtype = norm.dtype if norm.dtype == np.uint8 else np.float32
     for b in range(n_batches):
         batch_wins = windows[b * bs:(b + 1) * bs]
-        tiles = np.zeros((bs, win_size, win_size, 3), np.float32)
+        tiles = np.zeros((bs, win_size, win_size, 3), tile_dtype)
         for i, (x, y, w, h) in enumerate(batch_wins):
             crop = norm[y:y + h, x:x + w]
             tiles[i, :crop.shape[0], :crop.shape[1]] = crop

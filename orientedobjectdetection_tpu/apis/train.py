@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..datasets import build_dataset
-from ..datasets.loader import DataLoader
+from ..datasets.loader import DataLoader, strip_host_normalize
 from ..models import build_detector
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
 from ..parallel.train_state import (build_lr_schedule, build_optimizer,
@@ -50,7 +50,14 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
     os.makedirs(work_dir, exist_ok=True)
     log_path = osp.join(work_dir, 'train_log.jsonl')
 
-    dataset = build_dataset(cfg.data['train'])
+    # device-side normalization (default on): strip the host pipeline's
+    # Normalize and fold it into the jitted step — uint8 host batches,
+    # ~25% less host pipeline work at 1024 px, 4x less H2D traffic
+    train_cfg = dict(cfg.data['train'])
+    device_norm = None
+    if cfg.data.get('normalize_on_device', True):
+        train_cfg, device_norm = strip_host_normalize(train_cfg)
+    dataset = build_dataset(train_cfg)
     batch_size = int(cfg.data.get('samples_per_gpu', 2)) * \
         jax.local_device_count()
     loader = DataLoader(
@@ -67,7 +74,8 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
     detector = build_detector(dict(cfg.model), dtype=dtype)
     rng = jax.random.PRNGKey(seed)
     sample = next(iter(loader))
-    init_images = jnp.asarray(sample['images'][:1])
+    # init traces shapes only — always feed the post-normalization dtype
+    init_images = jnp.asarray(sample['images'][:1], jnp.float32)
 
     sched = build_lr_schedule(dict(cfg.lr_config),
                               float(cfg.optimizer['lr']), steps_per_epoch,
@@ -96,7 +104,8 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
     repl = replicated(mesh)
     state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
     norm_eval = bool(cfg.model.get('backbone', {}).get('norm_eval', True))
-    step_fn = jax.jit(make_train_step(detector, tx, norm_eval=norm_eval))
+    step_fn = jax.jit(make_train_step(detector, tx, norm_eval=norm_eval,
+                                      device_norm=device_norm))
 
     def put(batch):
         return {k: jax.device_put(jnp.asarray(v), data_shard)
@@ -119,11 +128,14 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
 
     def run_eval(variables):
         nonlocal eval_bundle
-        from .eval import eval_from_state
+        from .eval import _default_norm, eval_from_state
         from .inference import DetectorBundle
         if eval_bundle is None:
+            eval_norm = _default_norm(cfg) if \
+                cfg.data.get('normalize_on_device', True) else None
             eval_bundle = DetectorBundle(cfg, detector, variables,
-                                         dtype=dtype)
+                                         dtype=dtype,
+                                         device_norm=eval_norm)
         return eval_from_state(
             eval_bundle, variables, eval_dataset,
             batch_size=int(eval_cfg.get('samples_per_gpu', 8)),

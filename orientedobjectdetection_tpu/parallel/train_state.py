@@ -136,8 +136,23 @@ def create_train_state(detector, rng, sample_images, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
+def normalize_images(images, norm: dict):
+    """Device-side image normalization (the pipeline ``Normalize`` step
+    moved inside the jitted program): raw uint8 BGR batches cross PCIe at
+    1/4 the bytes and the subtract/scale fuses into the stem conv's input.
+    ``norm`` is the config's ``img_norm_cfg`` (mean/std in BGR order like
+    mmcv's, ``to_rgb`` flips the channel axis first)."""
+    x = images.astype(jnp.float32)
+    if norm.get('to_rgb', True):
+        x = x[..., ::-1]
+    mean = jnp.asarray(norm['mean'], jnp.float32)
+    inv_std = 1.0 / jnp.asarray(norm['std'], jnp.float32)
+    return (x - mean) * inv_std
+
+
 def make_train_step(detector, tx, loss_weights: Optional[Dict] = None,
-                    norm_eval: bool = True):
+                    norm_eval: bool = True,
+                    device_norm: Optional[dict] = None):
     """Returns the pure train-step fn; jit it with sharded-batch in_shardings
     for multi-chip data parallelism.
 
@@ -145,11 +160,18 @@ def make_train_step(detector, tx, loss_weights: Optional[Dict] = None,
     model with a mutable ``batch_stats`` collection: every BatchNorm runs on
     batch statistics and EMA-updates its running stats, which are carried in
     the TrainState.
+
+    ``device_norm``: img_norm_cfg dict when the host pipeline's Normalize
+    was stripped (``datasets.loader.strip_host_normalize``) — the batch then
+    arrives as raw uint8 and is normalized here, on device.
     """
 
     def train_step(state: TrainState, batch, rng=None):
         if rng is None:
             rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        images = batch['images']
+        if device_norm is not None:
+            images = normalize_images(images, device_norm)
 
         def loss_fn(params):
             variables = {'params': params}
@@ -157,11 +179,11 @@ def make_train_step(detector, tx, loss_weights: Optional[Dict] = None,
                 variables['batch_stats'] = state.batch_stats
             if not norm_eval:
                 outputs, updated = detector.apply(
-                    variables, batch['images'], batch=batch, train=True,
+                    variables, images, batch=batch, train=True,
                     rng=rng, mutable=['batch_stats'])
                 new_stats = updated['batch_stats']
             else:
-                outputs = detector.apply(variables, batch['images'],
+                outputs = detector.apply(variables, images,
                                          batch=batch, train=True, rng=rng)
                 new_stats = state.batch_stats
             losses = detector.loss_from_outputs(outputs, batch)

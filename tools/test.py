@@ -109,7 +109,14 @@ def main():
         if args.batch_size % mesh.devices.size:
             raise SystemExit(f'--batch-size must be a multiple of the '
                              f'device count ({mesh.devices.size})')
-    bundle = init_detector(cfg, args.checkpoint, dtype=dtype, mesh=mesh)
+    # device-side normalization (default on): the bundle normalizes raw
+    # uint8 batches inside the compiled program
+    device_norm = None
+    if cfg.data.get('normalize_on_device', True):
+        from orientedobjectdetection_tpu.apis.eval import _default_norm
+        device_norm = _default_norm(cfg)
+    bundle = init_detector(cfg, args.checkpoint, dtype=dtype, mesh=mesh,
+                           device_norm=device_norm)
 
     split = 'test' if args.format_only else 'val'
     dataset = build_dataset(dict(cfg.data[split], test_mode=True,
