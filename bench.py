@@ -116,6 +116,23 @@ def _train_ips(det, variables, images, batch, want_flops=False):
     return batch / t
 
 
+def dry():
+    """Import + build check only (snapshot gate): constructs every model the
+    bench touches and traces nothing — runs on CPU in seconds."""
+    import os
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    from __graft_entry__ import _retina_cfg
+    from orientedobjectdetection_tpu.models import build_detector
+    from orientedobjectdetection_tpu.ops.nms import nms_rotated  # noqa: F401
+    from orientedobjectdetection_tpu.utils import Config
+    build_detector(_retina_cfg(), dtype=jnp.bfloat16)
+    orcnn_cfg = Config.fromfile(
+        'configs/oriented_rcnn/oriented_rcnn_r50_fpn_1x_dota_le90.py')
+    build_detector(dict(orcnn_cfg.model), dtype=jnp.bfloat16)
+    print(json.dumps({'metric': 'dry', 'value': 1, 'unit': 'ok',
+                      'vs_baseline': 1}))
+
+
 def main():
     from __graft_entry__ import _retina_cfg
     from orientedobjectdetection_tpu.models import build_detector
@@ -211,4 +228,8 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    if '--dry' in sys.argv:
+        dry()
+    else:
+        main()
