@@ -35,6 +35,7 @@ class ReConv(nn.Module):
     stride: int = 1
     in_orientations: int = 8
     use_bias: bool = False
+    steerable: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -70,6 +71,7 @@ class ReConv(nn.Module):
         oc = ORConv2d(self.out_base_channels, kernel_size=3,
                       in_orientations=self.in_orientations,
                       num_orientations=8, use_bias=self.use_bias,
+                      steerable=self.steerable,
                       stride=self.stride, dtype=self.dtype, name='orconv')
         return oc(x)
 
@@ -78,6 +80,7 @@ class ReBottleneck(nn.Module):
     base_planes: int
     stride: int = 1
     downsample: bool = False
+    steerable: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -88,6 +91,7 @@ class ReBottleneck(nn.Module):
         out = FrozenBatchNorm(dtype=self.dtype, name='bn1')(out)
         out = nn.relu(out)
         out = ReConv(self.base_planes, 3, stride=self.stride,
+                     steerable=self.steerable,
                      dtype=self.dtype, name='conv2')(out)
         out = FrozenBatchNorm(dtype=self.dtype, name='bn2')(out)
         out = nn.relu(out)
@@ -119,6 +123,7 @@ class ReResNet(nn.Module):
     norm_eval: bool = True
     style: str = 'pytorch'
     zero_init_residual: bool = False
+    conv_basis: str = 'permutation'   # 'steerable' = e2cnn basis expansion
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
 
@@ -128,9 +133,10 @@ class ReResNet(nn.Module):
         stage_blocks = {18: (1, 1, 1, 1), 50: (3, 4, 6, 3),
                         101: (3, 4, 23, 3)}[self.depth]
         # lifting stem: image (1 orientation) -> regular C8 features
+        steer = self.conv_basis == 'steerable'
         x = ORConv2d(8, kernel_size=3, in_orientations=1,
                      num_orientations=8, use_bias=False, stride=2,
-                     dtype=self.dtype,
+                     steerable=steer, dtype=self.dtype,
                      name='stem_lift')(x)          # 64 channels = 8 base * 8
         x = FrozenBatchNorm(dtype=self.dtype, name='stem_bn')(x)
         x = nn.relu(x)
@@ -144,7 +150,8 @@ class ReResNet(nn.Module):
                 need_ds = (j == 0) and (stride != 1 or
                                         x.shape[-1] != base * 4 * 8)
                 x = ReBottleneck(base_planes=base, stride=stride,
-                                 downsample=need_ds, dtype=self.dtype,
+                                 downsample=need_ds, steerable=steer,
+                                 dtype=self.dtype,
                                  name=f'layer{i + 1}_{j}')(x)
             if i in self.out_indices:
                 outs.append(x)
@@ -161,6 +168,7 @@ class ReFPN(nn.Module):
     num_outs: int = 5
     start_level: int = 0
     add_extra_convs: Any = False
+    conv_basis: str = 'permutation'   # 'steerable' = e2cnn basis expansion
     init_cfg: Optional[dict] = None
     dtype: Any = jnp.float32
 
@@ -176,7 +184,9 @@ class ReFPN(nn.Module):
         for i in range(len(laterals) - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + upsample_nearest_2x(
                 laterals[i], laterals[i - 1].shape[1:3])
-        outs = [ReConv(out_base, 3, dtype=self.dtype, name=f'fpn_{i}')(lat)
+        outs = [ReConv(out_base, 3,
+                       steerable=self.conv_basis == 'steerable',
+                       dtype=self.dtype, name=f'fpn_{i}')(lat)
                 for i, lat in enumerate(laterals)]
         while len(outs) < self.num_outs:
             outs.append(nn.max_pool(outs[-1], (1, 1), strides=(2, 2)))

@@ -85,3 +85,74 @@ def test_permutation_beats_bilinear_at_45deg():
     rel_interp = _lift_and_compare(True, 45, rng)
     assert rel_perm <= rel_interp * 1.1, (rel_perm, rel_interp)
     assert rel_perm < 0.35, rel_perm
+
+
+def test_steerable_basis_group_closure():
+    """The precomputed C8 basis (e2cnn R2Conv scheme, reference
+    ``models/utils/enn.py:37-161``): at 90-degree multiples the sampled
+    rotated basis must equal the tap permutation exactly, and the sampled
+    basis must span the full 9-dim tap space (no expressivity loss vs an
+    unconstrained 3x3 filter)."""
+    from orientedobjectdetection_tpu.models.utils_rotation import (
+        _rotation_perms, c8_steerable_basis)
+
+    B = c8_steerable_basis(8)
+    perms = _rotation_perms(8)
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=B.shape[-1])
+    w = B @ c
+    for o in (2, 4, 6):
+        err = np.abs(w[o] - w[0][perms[o]]).max() / np.abs(w[0]).max()
+        assert err < 1e-5, (o, err)
+    assert np.linalg.matrix_rank(B[0].T @ B[0]) == 9
+
+
+def _lift_and_compare_steerable(deg, rng):
+    from orientedobjectdetection_tpu.models.utils_rotation import ORConv2d
+
+    img = _smooth_image(rng)
+    mod = ORConv2d(out_channels=2, kernel_size=3, in_orientations=1,
+                   num_orientations=8, use_bias=False, stride=1,
+                   steerable=True)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(img[None]))
+    apply = jax.jit(lambda v, x: mod.apply(v, x))
+
+    y = np.asarray(apply(variables, jnp.asarray(img[None])))[0]
+    y_rot_in = np.asarray(apply(
+        variables, jnp.asarray(_rotate(img, deg)[None])))[0]
+    k = int(round(-deg / 45.0)) % 8
+    h, w, c = y.shape
+    y_resh = y.reshape(h, w, c // 8, 8)
+    y_shift = np.roll(y_resh, k, axis=3).reshape(h, w, c)
+    y_pred = np.stack([_rotate(y_shift[..., i], deg).reshape(h, w)
+                       for i in range(c)], -1)
+    s = slice(h // 4, 3 * h // 4)
+    return np.abs(y_rot_in[s, s] - y_pred[s, s]).max() / \
+        np.abs(y[s, s]).max()
+
+
+def test_steerable_equivariance():
+    """Steerable mode: exact at 90 deg, bounded error at 45 deg (the
+    rotated filter copies are exact function rotations; residual error is
+    the feature-map resampling only)."""
+    rng = np.random.default_rng(2)
+    assert _lift_and_compare_steerable(90, rng) < 5e-3
+    rel45 = _lift_and_compare_steerable(45, rng)
+    assert rel45 < 0.35, rel45
+
+
+def test_re_resnet_steerable_builds():
+    """conv_basis='steerable' is an opt-in drop-in on ReResNet/ReFPN."""
+    from orientedobjectdetection_tpu.models.backbones.re_resnet import (
+        ReFPN, ReResNet)
+
+    m = ReResNet(depth=18, conv_basis='steerable')
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    outs = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    n = ReFPN(in_channels=[256, 512, 1024, 2048], out_channels=64,
+              num_outs=5, conv_basis='steerable')
+    vn = n.init(jax.random.PRNGKey(0), outs)
+    fpn_outs = n.apply(vn, outs)
+    assert len(fpn_outs) == 5
+    assert all(o.shape[-1] == 64 for o in fpn_outs)
