@@ -19,7 +19,7 @@ data_root = '/tmp/synth_hard/'
 img_norm_cfg = dict(
     mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375], to_rgb=True)
 train_pipeline = [
-    dict(type='LoadImageFromFile'),
+    dict(type='LoadImageFromFile', cache='ram'),
     dict(type='LoadAnnotations', with_bbox=True),
     dict(type='RResize', img_scale=(512, 512)),
     dict(type='RRandomFlip', flip_ratio=0.5, version=angle_version),
@@ -28,7 +28,7 @@ train_pipeline = [
     dict(type='Collect', keys=['img', 'gt_bboxes', 'gt_labels'])
 ]
 test_pipeline = [
-    dict(type='LoadImageFromFile'),
+    dict(type='LoadImageFromFile', cache='ram'),
     dict(type='RResize', img_scale=(512, 512)),
     dict(type='Normalize', **img_norm_cfg),
     dict(type='Pad', size_divisor=32),

@@ -6,14 +6,25 @@ Rebuilds reference ``backbones/re_resnet.py:17-616`` + ``necks/re_fpn.py``
 TPU-native formulation: a C8-*regular* feature carries 8 orientation
 channels per base channel (orientation-minor layout, C = base * 8). A
 group-equivariant conv applies 8 rotated copies of one learned filter, each
-rotated copy ALSO cycling the input orientation channels — exactly the
-ORConv (8, 8) active-rotating-filter scheme (``models/utils_rotation.py``),
-where the 45-degree spatial rotation of a 3x3 kernel is the ring
-permutation of its taps. This is the nearest-neighbor discretization of
-e2cnn's steerable-basis R2Conv; it preserves exact C8 equivariance for
-90-degree rotations and approximate equivariance for 45-degree ones (e2cnn
-interpolates the basis instead). The lifting conv (image -> regular) uses
-the same scheme with 1 input orientation.
+rotated copy ALSO cycling the input orientation channels. Two filter
+parameterizations are provided (``conv_basis``):
+
+- ``'permutation'`` (default): the 45-degree spatial rotation of a 3x3
+  kernel is the ring permutation of its taps — the ORConv (8, 8)
+  active-rotating-filter scheme (``models/utils_rotation.py``). Exact at
+  90-degree multiples; measured LOWER 45-degree equivariance error than
+  bilinear tap rotation (tests/test_models/test_equivariance.py).
+- ``'steerable'``: e2cnn's R2Conv scheme (reference
+  ``models/utils/enn.py:37-161``) — filters are coefficients over a
+  precomputed Gaussian-ring x angular-frequency basis
+  (``utils_rotation.c8_steerable_basis``); every rotated copy samples the
+  EXACTLY-rotated continuous function, so no tap-rotation error enters
+  the filter bank.
+
+The lifting conv (image -> regular) uses the same scheme with 1 input
+orientation. Reference e2cnn checkpoints convert via their expanded
+``.filter`` buffers (``tools/model_converters/convert_torch_weights.py``
+``torch_re_resnet_to_flax`` / ``torch_re_fpn_to_flax``, round-trip-tested).
 """
 
 from __future__ import annotations
@@ -61,7 +72,7 @@ class ReConv(nn.Module):
             out = lax.conv_general_dilated(
                 x.astype(self.dtype), wall, (self.stride,) * 2, 'VALID',
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-            return out
+            return self._add_field_bias(out)
         # stride goes INTO the conv (a full-res conv + [::stride] slice
         # wastes stride^2 x the MXU work)
         # ring permutation, NOT bilinear tap rotation: for a 3x3 kernel the
@@ -70,10 +81,21 @@ class ReConv(nn.Module):
         # tests/test_models/test_equivariance.py
         oc = ORConv2d(self.out_base_channels, kernel_size=3,
                       in_orientations=self.in_orientations,
-                      num_orientations=8, use_bias=self.use_bias,
+                      num_orientations=8, use_bias=False,
                       steerable=self.steerable,
                       stride=self.stride, dtype=self.dtype, name='orconv')
-        return oc(x)
+        return self._add_field_bias(oc(x))
+
+    def _add_field_bias(self, out):
+        """Per-FIELD bias repeated over the 8 orientation channels —
+        e2cnn's equivariance-preserving bias form (an orientation-varying
+        bias would break C8 equivariance; reference ReFPN ConvModules carry
+        exactly this per-field bias, ``necks/re_fpn.py:72-86``)."""
+        if not self.use_bias:
+            return out
+        b = self.param('bias', nn.initializers.zeros,
+                       (self.out_base_channels,), jnp.float32)
+        return out + jnp.repeat(b, 8).astype(out.dtype)
 
 
 class ReBottleneck(nn.Module):
@@ -177,14 +199,18 @@ class ReFPN(nn.Module):
         from ..necks.fpn import upsample_nearest_2x
         used = list(inputs[self.start_level:])
         out_base = self.out_channels // 8
+        # lateral/fpn convs carry a per-field bias like the reference's
+        # equivariant ConvModule (bias='auto' with no norm -> True,
+        # ``necks/re_fpn.py:72-86``)
         laterals = [
-            ReConv(out_base, 1, dtype=self.dtype, name=f'lateral_{i}')(x)
+            ReConv(out_base, 1, use_bias=True, dtype=self.dtype,
+                   name=f'lateral_{i}')(x)
             for i, x in enumerate(used)
         ]
         for i in range(len(laterals) - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + upsample_nearest_2x(
                 laterals[i], laterals[i - 1].shape[1:3])
-        outs = [ReConv(out_base, 3,
+        outs = [ReConv(out_base, 3, use_bias=True,
                        steerable=self.conv_basis == 'steerable',
                        dtype=self.dtype, name=f'fpn_{i}')(lat)
                 for i, lat in enumerate(laterals)]

@@ -1,29 +1,32 @@
 """Pallas TPU kernel for RoIAlignRotated over an FPN pyramid.
 
 Replaces the XLA-gather formulation of :mod:`.roi_align_rotated` on the
-inference hot path (reference CUDA analog:
-``mmcv.ops.RoIAlignRotated`` routed per level by
-``roi_extractors/rotate_single_level_roi_extractor.py:14-167``).
+inference hot path (reference CUDA analog: ``mmcv.ops.RoIAlignRotated``
+routed per level by ``roi_extractors/rotate_single_level_roi_extractor.py:
+14-167``).
 
 Why a kernel: profiled on v5e, the gather formulation is 78% of Oriented
 R-CNN e2e inference (125 ms of 160 ms at batch 4, R=2000) — XLA lowers the
 (B, R*P) row gather to ~34 GB/s effective HBM bandwidth. This kernel
 instead:
 
-- DMAs, per roi, ONE contiguous-row window (WIN x WIN x C) of the roi's
-  FPN level from HBM into VMEM (the 196 rotated-grid sample points of a
-  7x7 bin grid with sampling_ratio 2 always fit: the level router caps a
-  roi's feature extent at 28*sqrt(2) cells except top-level-clamped giants,
-  whose extent at stride 32 is <= image_diag/32 <= 45.3; +3 bilinear cells
-  = 48 -> WIN = 48);
-- evaluates ALL samples of a roi as two small dense contractions on the
-  window: bilinear interpolation is separable, ``out[p, c] =
+- views each FPN level as (B, H, W*C) (a free relayout) and DMAs, per roi,
+  ONE (WIN, WIN*C) window of the roi's level from HBM into VMEM. The 196
+  rotated-grid sample points of a 7x7 bin grid with sampling_ratio 2
+  always fit: the level router caps a roi's feature extent at 28*sqrt(2)
+  cells except top-level-clamped giants, whose extent at stride 32 is
+  <= image_diag/32 <= 45.3; +3 bilinear cells = 48 -> WIN = 48;
+- evaluates ALL samples of a roi as matmuls plus a lane-sliced VPU
+  reduction: bilinear interpolation is separable, ``out[p, c] =
   sum_y A[p, y] sum_x B[p, x] * win[y, x, c]`` where A/B each carry the
   two nonzero bilinear row/col weights per sample point (with the
   out-of-bounds corner masks folded in — identical masking semantics to
-  the gather path). The y-contraction is an MXU matmul (196 x 48 @
-  48 x 48C), the x-contraction a VPU reduce. The (196, 48, C) intermediate
-  lives only in VMEM — never touches HBM.
+  the gather path). The y-contraction is ``A (196, 48) @ win (48, 48*C)``
+  on the MXU; the x-contraction multiplies 48 static lane slices
+  ``t[:, x*C:(x+1)*C]`` by ``B[:, x]`` and accumulates (Mosaic supports
+  no minor-dim reshapes, so a (196, 48, C) tensor is never formed); the
+  final 2x2 bin averaging is a second small matmul with a constant
+  pooling matrix. Intermediates live only in VMEM — never touch HBM;
 - double-buffers the window DMAs across roi blocks (grid is sequential:
   ``dimension_semantics='arbitrary'``), so HBM reads overlap the MXU work.
 
@@ -37,13 +40,20 @@ from __future__ import annotations
 import functools
 from typing import Sequence, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 48           # window cells per side (see module docstring)
+WINX = 48          # window cells across (lane axis; see module docstring)
+WINY = 64          # window rows: 48 needed + 16-alignment slack (the HBM
+                   # (B, H, W*C) view is sublane-tiled, so the row origin
+                   # must be a multiple of 16 for the DMA slice)
 RBLK = 2           # rois per grid step (VMEM-bound: 2 double-buffered wins)
+XCHUNK = 12        # x-columns per matmul chunk (bounds the f32 intermediate
+                   # at (196, XCHUNK*C) = 2.4 MB for C=256)
 P14 = 14           # sample grid side (7 bins x sampling_ratio 2)
 P = P14 * P14
 
@@ -78,12 +88,12 @@ def _sample_coords(rois, roi_scale, clockwise: bool):
     return fx, fy
 
 
-def _axis_weights(f, origin, size):
-    """(…, P) coords -> (…, P, WIN) one-hot-pair bilinear weight matrix.
+def _axis_weights(f, origin, size, win):
+    """(…, P) coords -> (…, P, win) one-hot-pair bilinear weight matrix.
 
     Folds the per-corner in-bounds mask (coordinate in [0, size)) exactly
     like the gather path's ``inb`` check; window-local indices outside
-    [0, WIN) produce all-zero rows automatically.
+    [0, win) produce all-zero rows automatically.
     """
     i0 = jnp.floor(f)
     w1 = f - i0
@@ -92,86 +102,103 @@ def _axis_weights(f, origin, size):
     v0 = (i0 >= 0) & (i0 < size[..., None])
     v1 = (i0 + 1 >= 0) & (i0 + 1 < size[..., None])
     loc0 = i0 - origin[..., None]
-    iota = jnp.arange(WIN, dtype=jnp.int32)
+    iota = jnp.arange(win, dtype=jnp.int32)
     m0 = (loc0[..., None] == iota) & v0[..., None]
     m1 = ((loc0 + 1)[..., None] == iota) & v1[..., None]
     return (w0[..., None] * m0 + w1[..., None] * m1)
 
 
-def _kernel(lvl_ref, row_ref, col_ref,        # scalar prefetch (B, R) SMEM
-            a_ref, b_ref,                     # (1, RBLK, P, WIN) VMEM bf16
-            *refs):
-    feat_refs = refs[:-3]                     # per-level (B, H, W, C) ANY
-    out_ref, win_scr, sems = refs[-3:]
-    b = pl.program_id(0)
-    rb = pl.program_id(1)
-    nrb = pl.num_programs(1)
-    nb = pl.num_programs(0)
+def _pool_matrix():
+    """(49, P) constant: out bin (by, bx) = mean of its 2x2 sample points
+    (sample p = iy * 14 + ix)."""
+    m = np.zeros((49, P), np.float32)
+    for by in range(7):
+        for bx in range(7):
+            for sy in range(2):
+                for sx in range(2):
+                    m[by * 7 + bx, (2 * by + sy) * P14 + 2 * bx + sx] = .25
+    return m
 
-    def start_block(slot, b_, rb_):
-        for i in range(RBLK):
+
+def _make_kernel(num_levels: int, c: int):
+    def kernel(lvl_ref, row_ref, col_ref,     # scalar prefetch (B, R) SMEM
+               a_ref, b_ref,                  # (1, RBLK, P, WIN) VMEM bf16
+               pool_ref,                      # (49, P) VMEM bf16
+               *refs):
+        feat_refs = refs[:num_levels]         # per-level (B, H, W*C) ANY
+        out_ref, win_scr, sems = refs[num_levels:num_levels + 3]
+        b = pl.program_id(0)
+        rb = pl.program_id(1)
+        nrb = pl.num_programs(1)
+        nb = pl.num_programs(0)
+
+        def window_dma(slot, i, b_, rb_):
             r = rb_ * RBLK + i
             lvl = lvl_ref[b_, r]
-            r0 = row_ref[b_, r]
+            r0 = pl.multiple_of(row_ref[b_, r], 16)
             c0 = col_ref[b_, r]
-            for li, f in enumerate(feat_refs):
+            dmas = [pltpu.make_async_copy(
+                f.at[b_, pl.ds(r0, WINY), pl.ds(c0 * c, WINX * c)],
+                win_scr.at[slot, i],
+                sems.at[slot, i]) for f in feat_refs]
+            return lvl, dmas
+
+        def start_block(slot, b_, rb_):
+            for i in range(RBLK):
+                lvl, dmas = window_dma(slot, i, b_, rb_)
+                for li, dma in enumerate(dmas):
+                    @pl.when(lvl == li)
+                    def _():
+                        dma.start()
+
+        def wait_one(slot, i, b_, rb_):
+            lvl, dmas = window_dma(slot, i, b_, rb_)
+            for li, dma in enumerate(dmas):
                 @pl.when(lvl == li)
                 def _():
-                    pltpu.make_async_copy(
-                        f.at[b_, pl.ds(r0, WIN), pl.ds(c0, WIN), :],
-                        win_scr.at[slot, i],
-                        sems.at[slot, i]).start()
+                    dma.wait()
 
-    def wait_one(slot, i, b_, rb_):
-        r = rb_ * RBLK + i
-        lvl = lvl_ref[b_, r]
-        r0 = row_ref[b_, r]
-        c0 = col_ref[b_, r]
-        for li, f in enumerate(feat_refs):
-            @pl.when(lvl == li)
-            def _():
-                pltpu.make_async_copy(
-                    f.at[b_, pl.ds(r0, WIN), pl.ds(c0, WIN), :],
-                    win_scr.at[slot, i],
-                    sems.at[slot, i]).wait()
+        step = b * nrb + rb
+        cur = jax.lax.rem(step, 2)
+        nxt = jax.lax.rem(step + 1, 2)
 
-    step = b * nrb + rb
-    cur = jax.lax.rem(step, 2)
-    nxt = jax.lax.rem(step + 1, 2)
+        @pl.when(step == 0)
+        def _():
+            start_block(cur, b, rb)
 
-    @pl.when(step == 0)
-    def _():
-        start_block(cur, b, rb)
+        # prefetch the next block's windows (possibly the next batch
+        # row's first block) while this block computes
+        nxt_b = (step + 1) // nrb
+        nxt_rb = jax.lax.rem(step + 1, nrb)
 
-    # prefetch the next block's windows (possibly the next batch row's
-    # first block) while this block computes
-    nxt_b = (step + 1) // nrb
-    nxt_rb = jax.lax.rem(step + 1, nrb)
+        @pl.when(step + 1 < nb * nrb)
+        def _():
+            start_block(nxt, nxt_b, nxt_rb)
 
-    @pl.when(step + 1 < nb * nrb)
-    def _():
-        start_block(nxt, nxt_b, nxt_rb)
+        for i in range(RBLK):
+            wait_one(cur, i, b, rb)
+            a_m = a_ref[0, i]                       # (P, WINY) bf16
+            b_m = b_ref[0, i].astype(jnp.float32)   # (P, WINX)
+            s = jnp.zeros((P, c), jnp.float32)
+            # chunk the x-columns: each chunk is one MXU matmul over the
+            # window rows plus XCHUNK lane-sliced multiply-adds; the f32
+            # (P, XCHUNK*C) intermediate stays bounded in VMEM
+            for k in range(WINX // XCHUNK):
+                wk = win_scr[cur, i, :,
+                             k * XCHUNK * c:(k + 1) * XCHUNK * c]
+                t = jax.lax.dot_general(
+                    a_m, wk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (P, XCHUNK*C)
+                for xi in range(XCHUNK):
+                    x = k * XCHUNK + xi
+                    s = s + t[:, xi * c:(xi + 1) * c] * b_m[:, x:x + 1]
+            pooled = jax.lax.dot_general(
+                pool_ref[:], s.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (49, C)
+            out_ref[0, i] = pooled.astype(out_ref.dtype)
 
-    c = win_scr.shape[-1]
-    cchunk = 64
-    for i in range(RBLK):
-        wait_one(cur, i, b, rb)
-        win = win_scr[cur, i]                       # (WIN, WIN, C) bf16
-        a_m = a_ref[0, i]                           # (P, WIN) bf16
-        b_m = b_ref[0, i]                           # (P, WIN) bf16
-        outs = []
-        for c0 in range(0, c, cchunk):
-            w2d = win[:, :, c0:c0 + cchunk].reshape(WIN, WIN * cchunk)
-            t = jax.lax.dot_general(
-                a_m, w2d, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (P, WIN*cc)
-            t = t.reshape(P, WIN, cchunk)
-            s = jnp.sum(t * b_m[:, :, None].astype(jnp.float32), axis=1)
-            outs.append(s)                           # (P, cc)
-        s_all = jnp.concatenate(outs, axis=-1)       # (P, C) f32
-        # bin-average the sampling_ratio^2 samples per bin
-        pooled = s_all.reshape(7, 2, 7, 2, c).mean(axis=(1, 3))
-        out_ref[0, i] = pooled.reshape(49, c).astype(out_ref.dtype)
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=('out_size', 'spatial_scales',
@@ -202,16 +229,14 @@ def roi_align_rotated_pallas(feats: Sequence[jnp.ndarray],
             [rois, jnp.zeros((b, pad_r, 5), rois.dtype)], axis=1)
     rp = rois.shape[1]
 
-    # pad every level to at least WIN cells per side so window DMAs are
-    # always in-bounds (tiny top levels of small inputs)
-    feats = [jnp.pad(f, ((0, 0), (0, max(0, WIN - f.shape[1])),
-                         (0, max(0, WIN - f.shape[2])), (0, 0)))
-             if (f.shape[1] < WIN or f.shape[2] < WIN) else f
+    # pad every level to at least the window extent so DMAs are always
+    # in-bounds (tiny top levels of small inputs); pad cells are zero,
+    # which reproduces mmcv's zeroed out-of-bounds corners
+    feats = [jnp.pad(f, ((0, 0), (0, max(0, WINY - f.shape[1])),
+                         (0, max(0, WINX - f.shape[2])), (0, 0)))
+             if (f.shape[1] < WINY or f.shape[2] < WINX) else f
              for f in feats]
 
-    # padded extents: the in-bounds masks may admit pad cells — they are
-    # zero-valued, so their contribution matches mmcv's zeroed
-    # out-of-bounds corners exactly
     heights = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
     widths = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
 
@@ -224,40 +249,45 @@ def roi_align_rotated_pallas(feats: Sequence[jnp.ndarray],
     fx, fy = _sample_coords(rois, roi_scale, clockwise)        # (B, R, P)
 
     col0 = jnp.clip(jnp.floor(fx.min(-1)).astype(jnp.int32) - 1,
-                    0, fw - WIN)
+                    0, fw - WINX)
+    # 16-align the row origin (HBM sublane tiling); WINY has the slack
     row0 = jnp.clip(jnp.floor(fy.min(-1)).astype(jnp.int32) - 1,
-                    0, fh - WIN)
+                    0, fh - WINY) & ~15
 
-    a_mat = _axis_weights(fy, row0, fh)                        # (B,R,P,WIN)
-    b_mat = _axis_weights(fx, col0, fw)
+    a_mat = _axis_weights(fy, row0, fh, WINY)                # (B,R,P,WINY)
+    b_mat = _axis_weights(fx, col0, fw, WINX)
     # fold the degenerate/padding-roi mask into A (zero rows -> zero out)
     valid = (rois[..., 2] > 1e-3) & (rois[..., 3] > 1e-3)
     a_mat = (a_mat * valid[..., None, None]).astype(jnp.bfloat16)
     b_mat = b_mat.astype(jnp.bfloat16)
 
+    flat2d = tuple(f.reshape(b, f.shape[1], -1) for f in feats)
+    pool = jnp.asarray(_pool_matrix(), jnp.bfloat16)
+
     nrb = rp // RBLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, nrb),
-        in_specs=([pl.BlockSpec((1, RBLK, P, WIN),
+        in_specs=([pl.BlockSpec((1, RBLK, P, WINY),
                                 lambda bi, ri, *_: (bi, ri, 0, 0)),
-                   pl.BlockSpec((1, RBLK, P, WIN),
-                                lambda bi, ri, *_: (bi, ri, 0, 0))]
+                   pl.BlockSpec((1, RBLK, P, WINX),
+                                lambda bi, ri, *_: (bi, ri, 0, 0)),
+                   pl.BlockSpec((49, P), lambda bi, ri, *_: (0, 0))]
                   + [pl.BlockSpec(memory_space=pltpu.ANY)] * num_levels),
         out_specs=pl.BlockSpec((1, RBLK, 49, c),
                                lambda bi, ri, *_: (bi, ri, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, RBLK, WIN, WIN, c), feats[0].dtype),
+            pltpu.VMEM((2, RBLK, WINY, WINX * c), feats[0].dtype),
             pltpu.SemaphoreType.DMA((2, RBLK)),
         ],
     )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(num_levels, c),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, rp, 49, c), feats[0].dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
-    )(lvl, row0, col0, a_mat, b_mat, *feats)
+    )(lvl, row0, col0, a_mat, b_mat, pool, *flat2d)
     out = out.reshape(b, rp, 7, 7, c)
     if pad_r:
         out = out[:, :r]

@@ -34,6 +34,7 @@ FAMILIES = {
     'S2ANet': ('s2anet', 's2anet_tiny_synth.py'),
     'R3Det': ('r3det', 'r3det_tiny_synth.py'),
     'RotatedYOLOv8': ('jy', 'rotated_yolov8_tiny_synth.py'),
+    'ReDet': ('redet', 'redet_tiny_synth.py'),
 }
 
 
@@ -106,7 +107,7 @@ def test_converted_forward_finite():
 def test_unknown_type_raises():
     from convert_torch_weights import convert_checkpoint
     with pytest.raises(ValueError):
-        convert_checkpoint({}, 'ReDet')
+        convert_checkpoint({}, 'NoSuchDetector')
 
 
 @pytest.mark.parametrize('backbone', ['swin', 'convnext'])

@@ -20,7 +20,11 @@ if [ "$(ls /tmp/synth_hard/trainval/images 2>/dev/null | wc -l)" -lt 120 ] ||
 fi
 
 EPOCHS="${EPOCHS:-12}"
-PER_FAMILY_TIMEOUT="${PER_FAMILY_TIMEOUT:-2400}"
+# 1-core-host compiles dominate a family's first run (round-4 post-mortem:
+# oriented_rcnn died at step 100 inside a 2400 s budget). The persistent
+# compile cache (tools/train.py) + checkpoint auto-resume make reruns cheap,
+# so the generous default only ever costs time once.
+PER_FAMILY_TIMEOUT="${PER_FAMILY_TIMEOUT:-7200}"
 for cfg in configs/*/*hard_synth.py; do
   name=$(basename "$cfg" .py)
   if grep -q "\"epoch\": $EPOCHS, \"mode\": \"val\"" \
@@ -31,8 +35,10 @@ for cfg in configs/*/*hard_synth.py; do
   echo "==== $name ===="
   # keep going if one family fails or wedges: the SPREAD is the deliverable
   timeout "$PER_FAMILY_TIMEOUT" \
-    python tools/train.py "$cfg" --bf16 --work-dir "work_dirs/hard/$name" \
+    python tools/train.py "$cfg" --bf16 --auto-resume \
+    --work-dir "work_dirs/hard/$name" \
     --cfg-options "runner.max_epochs=$EPOCHS" "evaluation.interval=4" \
+    "checkpoint_config.interval=4" \
     2>&1 | tail -4 || echo "!!!! $name FAILED (rc=$?)"
 done
 

@@ -727,6 +727,139 @@ def _assemble_yolov8(state):
     return params, stats
 
 
+
+
+# ---------------------------------------------------------------------------
+# ReDet: ReResNet / ReFPN (e2cnn-based in the reference)
+# ---------------------------------------------------------------------------
+# The reference builds these on e2cnn R2Conv (``models/utils/enn.py:37-161``,
+# ``backbones/re_resnet.py:17-616``, ``necks/re_fpn.py:14-325``). An R2Conv
+# state dict stores basis COEFFICIENTS (``.weights``); the expanded
+# (out*8, in*8, k, k) filter is the ``.filter`` buffer, present in any
+# checkpoint saved after ``model.eval()`` (all released mmrotate ReDet
+# checkpoints). This converter consumes the expanded ``.filter``: our
+# C8-regular convs reconstruct every rotated copy from the o_out = 0 block,
+# so that block IS the full parameterization. If only ``.weights`` is
+# present, re-save the checkpoint once through e2cnn
+# (``model.eval(); torch.save(model.state_dict(), ...)``) to materialize
+# the filters.
+
+
+def _reconv_taps_from_filter(val, in_or: int = 8):
+    """e2cnn expanded filter (out_base*8, in_base*in_or, kh, kw) -> our
+    o_out = 0 base taps (kh*kw, in_base, in_or, out_base). Both layouts
+    are orientation-minor (e2cnn regular fields iterate their 8 components
+    innermost)."""
+    out8, cin, kh, kw = val.shape
+    out = out8 // 8
+    w = val.reshape(out, 8, cin // in_or, in_or, kh, kw)[:, 0]
+    return np.ascontiguousarray(
+        w.transpose(3, 4, 1, 2, 0)).reshape(kh * kw, cin // in_or, in_or,
+                                            out)
+
+
+def _re_conv(state, params, torch_name, our_path, in_or=8, prefix=''):
+    """Consume one equivariant conv's keys; True if a filter was found."""
+    filt_key = prefix + torch_name + '.filter'
+    if filt_key not in state:
+        if prefix + torch_name + '.weights' in state:
+            raise ValueError(
+                f'{filt_key} missing but .weights present: the checkpoint '
+                'was saved without expanded e2cnn filters; re-save it '
+                'through model.eval() (see converter docstring)')
+        return False
+    set_in(params, our_path + ('kernel',),
+           _reconv_taps_from_filter(np.asarray(state[filt_key]), in_or))
+    state.consumed.add(filt_key)
+    for aux in ('.weights', '.expanded_bias'):
+        if prefix + torch_name + aux in state:
+            state.consumed.add(prefix + torch_name + aux)
+    return True
+
+
+def _re_bn(state, params, stats, torch_name, our_path, prefix=''):
+    """e2cnn InnerBatchNorm (per-field values) -> FrozenBatchNorm over
+    base*8 channels (repeat each field value across its 8 orientations)."""
+    base = prefix + torch_name + '.batch_norm_[8].'
+    for field, (tree, leaf) in {
+            'weight': (params, 'scale'), 'bias': (params, 'bias'),
+            'running_mean': (stats, 'mean'),
+            'running_var': (stats, 'var')}.items():
+        key = base + field
+        if key in state:
+            set_in(tree, our_path + (leaf,),
+                   np.repeat(np.asarray(state[key]), 8))
+            state.consumed.add(key)
+    if base + 'num_batches_tracked' in state:
+        state.consumed.add(base + 'num_batches_tracked')
+
+
+def torch_re_resnet_to_flax(state, prefix: str = 'backbone.'):
+    """Reference ReResNet names -> our ReResNet module tree.
+
+    torch: conv1 (ennTrivialConv lift), bn1, layer{s}.{j}.conv{1,2,3} /
+    bn{1,2,3} / downsample.0/.1 (``backbones/re_resnet.py`` Bottleneck).
+    ours: stem_lift, stem_bn, layer{s}_{j}/{conv1,conv2/orconv,conv3,
+    ds_conv,bn1..3,ds_bn}."""
+    params, stats = {}, {}
+    _re_conv(state, params, 'conv1', ('stem_lift',), in_or=1,
+             prefix=prefix)
+    _re_bn(state, params, stats, 'bn1', ('stem_bn',), prefix=prefix)
+    blocks = sorted({m.group(1) for k in state
+                     for m in [re.match(
+                         re.escape(prefix) + r'(layer\d+\.\d+)\.', k)]
+                     if m})
+    for blk in blocks:
+        s_, j = blk.replace('layer', '').split('.')
+        ours = f'layer{s_}_{j}'
+        _re_conv(state, params, f'{blk}.conv1', (ours, 'conv1'),
+                 prefix=prefix)
+        _re_conv(state, params, f'{blk}.conv2', (ours, 'conv2', 'orconv'),
+                 prefix=prefix)
+        _re_conv(state, params, f'{blk}.conv3', (ours, 'conv3'),
+                 prefix=prefix)
+        _re_conv(state, params, f'{blk}.downsample.0', (ours, 'ds_conv'),
+                 prefix=prefix)
+        for k in (1, 2, 3):
+            _re_bn(state, params, stats, f'{blk}.bn{k}', (ours, f'bn{k}'),
+                   prefix=prefix)
+        _re_bn(state, params, stats, f'{blk}.downsample.1', (ours, 'ds_bn'),
+               prefix=prefix)
+    return params, stats
+
+
+def torch_re_fpn_to_flax(state, prefix: str = 'neck.'):
+    """Reference ReFPN (``necks/re_fpn.py``): lateral_convs.{i}.conv /
+    fpn_convs.{i}.conv equivariant ConvModules with per-field bias."""
+    params = {}
+    idxs = sorted({int(m.group(2)) for k in state
+                   for m in [re.match(
+                       re.escape(prefix) +
+                       r'(lateral|fpn)_convs\.(\d+)\.conv\.', k)]
+                   if m})
+    for i in idxs:
+        _re_conv(state, params, f'lateral_convs.{i}.conv',
+                 (f'lateral_{i}',), prefix=prefix)
+        _re_conv(state, params, f'fpn_convs.{i}.conv',
+                 (f'fpn_{i}', 'orconv'), prefix=prefix)
+        for kind, ours in (('lateral', f'lateral_{i}'), ('fpn', f'fpn_{i}')):
+            bkey = f'{prefix}{kind}_convs.{i}.conv.bias'
+            if bkey in state:
+                set_in(params, (ours, 'bias'), np.asarray(state[bkey]))
+                state.consumed.add(bkey)
+    return params
+
+
+def _assemble_redet(state):
+    bb_params, bb_stats = torch_re_resnet_to_flax(state, 'backbone.')
+    params = {'backbone': bb_params,
+              'neck': torch_re_fpn_to_flax(state, 'neck.'),
+              'rpn_head': torch_rpn_head_to_flax(state, 'rpn_head.'),
+              'roi_head': {'bbox_head': torch_convfc_head_to_flax(
+                  state, 'roi_head.bbox_head.')}}
+    return params, {'backbone': bb_stats}
+
+
 ASSEMBLERS = {
     'RotatedRetinaNet': _assemble_single_stage,
     'RotatedATSS': _assemble_single_stage,
@@ -739,6 +872,7 @@ ASSEMBLERS = {
     'S2ANet': _assemble_s2anet,
     'R3Det': _assemble_r3det,
     'RotatedYOLOv8': _assemble_yolov8,
+    'ReDet': _assemble_redet,
 }
 
 
@@ -779,6 +913,70 @@ def _walk(tree, path=()):
             yield path + (k,), np.asarray(v)
 
 
+
+
+def _expand_reconv_taps(w, num_or=8):
+    """Our o_out = 0 base taps (kk, cin_base, in_or, out) -> e2cnn-style
+    expanded filter (out*num_or, cin_base*in_or, k, k) via the
+    ring-permutation group action (inverse of
+    :func:`_reconv_taps_from_filter` at the o_out = 0 block)."""
+    from orientedobjectdetection_tpu.models.utils_rotation import (
+        _rotation_perms)
+    kk, cin_b, in_or, out = [int(d) for d in w.shape]
+    k = int(round(np.sqrt(kk)))
+    perms = _rotation_perms(num_or)
+    full = np.zeros((out * num_or, cin_b * in_or, k, k), np.float32)
+    for o in range(num_or):
+        wo = np.asarray(w)[perms[o]] if kk == 9 else np.asarray(w)
+        if in_or == num_or:
+            wo = np.roll(wo, o, axis=2)
+        t = wo.reshape(k, k, cin_b, in_or, out).transpose(4, 2, 3, 0, 1)
+        full[o::num_or] = t.reshape(out, cin_b * in_or, k, k)
+    return full
+
+
+def _synth_re_bn(put, torch_base, leaf, v):
+    field = {'scale': 'weight', 'bias': 'bias', 'mean': 'running_mean',
+             'var': 'running_var'}[leaf]
+    # InnerBatchNorm stores one value per FIELD; our FrozenBatchNorm over
+    # base*8 channels is its orientation-repeat, so fields are constant
+    # across orientations and slot 0 recovers them
+    put(f'{torch_base}.batch_norm_[8].{field}',
+        np.asarray(v).reshape(-1, 8)[:, 0])
+
+
+def _synth_re_resnet(put, path, v, prefix):
+    name = path[0]
+    if name == 'stem_lift':
+        put(prefix + 'conv1.filter', _expand_reconv_taps(v))
+    elif name == 'stem_bn':
+        _synth_re_bn(put, prefix + 'bn1', path[-1], v)
+    else:
+        m = re.match(r'layer(\d+)_(\d+)', name)
+        tbase = f'{prefix}layer{m.group(1)}.{m.group(2)}.'
+        sub = path[1]
+        if sub in ('conv1', 'conv2', 'conv3'):
+            put(tbase + f'{sub}.filter', _expand_reconv_taps(v))
+        elif sub == 'ds_conv':
+            put(tbase + 'downsample.0.filter', _expand_reconv_taps(v))
+        elif sub in ('bn1', 'bn2', 'bn3'):
+            _synth_re_bn(put, tbase + sub, path[-1], v)
+        elif sub == 'ds_bn':
+            _synth_re_bn(put, tbase + 'downsample.1', path[-1], v)
+        else:
+            raise ValueError(f'synthesize redet backbone: {path}')
+
+
+def _synth_re_fpn(put, path, v, prefix):
+    m = re.match(r'(lateral|fpn)_(\d+)', path[0])
+    kind = 'lateral_convs' if m.group(1) == 'lateral' else 'fpn_convs'
+    base = f'{prefix}{kind}.{m.group(2)}.conv.'
+    if path[-1] == 'bias':
+        put(base + 'bias', np.asarray(v))
+    else:
+        put(base + 'filter', _expand_reconv_taps(v))
+
+
 def synthesize_reference_state(variables, detector_type: str,
                                num_levels: int = 5):
     """Our flax variables -> a torch-style state dict with reference names.
@@ -794,7 +992,9 @@ def synthesize_reference_state(variables, detector_type: str,
         out[key] = val
 
     bb = params.get('backbone', {})
-    if 'patch_embed' in bb:
+    if 'stem_lift' in bb:
+        bb_kind = 'redet'
+    elif 'patch_embed' in bb:
         bb_kind = 'swin'
     elif 'stem_conv' in bb:
         bb_kind = 'convnext'
@@ -810,7 +1010,9 @@ def synthesize_reference_state(variables, detector_type: str,
                           if k.startswith('top_down_'))
 
     def synth_backbone(path, v):
-        if bb_kind == 'swin':
+        if bb_kind == 'redet':
+            _synth_re_resnet(put, path, v, 'backbone.')
+        elif bb_kind == 'swin':
             _synth_swin(put, path, v, 'backbone.')
         elif bb_kind == 'convnext':
             _synth_convnext(put, path, v, 'backbone.')
@@ -823,6 +1025,8 @@ def synthesize_reference_state(variables, detector_type: str,
         top = path[0]
         if top == 'backbone':
             synth_backbone(path[1:], v)
+        elif top == 'neck' and bb_kind == 'redet':
+            _synth_re_fpn(put, path[1:], v, 'neck.')
         elif top == 'neck' and neck_kind == 'yolov8':
             _synth_yolov8_pafpn(put, path[1:], v, 'neck.', neck_levels)
         elif top == 'neck':
@@ -868,6 +1072,9 @@ def synthesize_reference_state(variables, detector_type: str,
             raise ValueError(f'synthesize: unhandled path {path}')
 
     for path, v in _walk(stats.get('backbone', {})):
+        if bb_kind == 'redet':
+            _synth_re_resnet(put, path, v, 'backbone.')
+            continue
         if bb_kind == 'cspnext':
             _synth_cspnext(put, path, v, 'backbone.', spp_stages)
         else:   # resnet; swin/convnext carry no batch stats

@@ -6,6 +6,7 @@
 
 import argparse
 import ast
+import os
 import os.path as osp
 import sys
 
@@ -34,9 +35,18 @@ def parse_args():
 
 def main():
     args = parse_args()
+    import jax
     import jax.numpy as jnp
     from orientedobjectdetection_tpu.apis.train import train_detector
     from orientedobjectdetection_tpu.utils import Config
+
+    # persistent compile cache: the 1-core host pays minutes per train/eval
+    # program compile; cached reruns (protocol resumes, repeated families
+    # sharing shapes) skip it entirely
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                     '/tmp/oodtpu_jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
