@@ -54,9 +54,15 @@ def pad_collate(samples, max_gt: int = 512, pad_size=None):
     """List of pipeline outputs -> fixed-shape batch dict.
 
     Crowded DOTA tiles can exceed ``max_gt`` (small-vehicle scenes run past
-    500 instances); overflow keeps the LARGEST-AREA boxes (dropping the
-    smallest is the least-harmful truncation — their anchors would otherwise
-    be trained as background) and warns once.
+    500 instances); overflow keeps the LARGEST-AREA boxes and warns once.
+    The dropped boxes are NOT discarded: they fill ``gt_ignore`` /
+    ``gt_ignore_mask`` so losses can mask their anchors out instead of
+    training them as background (measured on synth-hard: 36% of instances
+    truncate at max_gt=256 — treating those as negatives actively
+    suppresses real objects; see RESULTS.md "single-stage starvation").
+    The reference routes dataset ignore boxes the same way
+    (``gt_bboxes_ignore`` through ``forward_train`` ->
+    ``MaxIoUAssigner(ignore_iof_thr)``).
     """
     imgs = [s['img'] for s in samples]
     if pad_size is None:
@@ -73,6 +79,8 @@ def pad_collate(samples, max_gt: int = 512, pad_size=None):
     gt_bboxes = np.zeros((b, max_gt, 5), np.float32)
     gt_labels = np.zeros((b, max_gt), np.int32)
     gt_mask = np.zeros((b, max_gt), bool)
+    gt_ignore = np.zeros((b, max_gt, 5), np.float32)
+    gt_ignore_mask = np.zeros((b, max_gt), bool)
     metas = []
     for i, s in enumerate(samples):
         im = s['img']
@@ -85,11 +93,16 @@ def pad_collate(samples, max_gt: int = 512, pad_size=None):
                     import warnings
                     warnings.warn(
                         f'pad_collate: {len(boxes)} gts > max_gt={max_gt}; '
-                        'keeping the largest-area boxes. Raise max_gt in '
-                        'the dataset/loader config to keep all.')
+                        'keeping the largest-area boxes, masking the rest '
+                        'as ignore regions. Raise max_gt in the '
+                        'dataset/loader config to keep all.')
                     _TRUNC_WARNED[0] = True
                 area = np.asarray(boxes)[:, 2] * np.asarray(boxes)[:, 3]
-                keep = np.argsort(-area)[:max_gt]
+                order = np.argsort(-area)
+                keep, drop = order[:max_gt], order[max_gt:max_gt * 2]
+                dropped = np.asarray(boxes)[drop]
+                gt_ignore[i, :len(dropped)] = dropped
+                gt_ignore_mask[i, :len(dropped)] = True
                 boxes = np.asarray(boxes)[keep]
                 labels = labels[keep]
             n = len(boxes)
@@ -98,7 +111,8 @@ def pad_collate(samples, max_gt: int = 512, pad_size=None):
             gt_mask[i, :n] = True
         metas.append(s.get('img_metas', {}))
     return dict(images=images, gt_bboxes=gt_bboxes, gt_labels=gt_labels,
-                gt_mask=gt_mask, img_metas=metas)
+                gt_mask=gt_mask, gt_ignore=gt_ignore,
+                gt_ignore_mask=gt_ignore_mask, img_metas=metas)
 
 
 class DataLoader:

@@ -74,10 +74,21 @@ class AnchorHeadLogic:
         return jnp.concatenate(levels, axis=0)
 
     # ---- target computation (single image; vmapped by loss) ------------
-    def _targets_single(self, anchors, gt_bboxes, gt_labels, gt_mask):
-        """anchors (N,5); padded gt (G,5)/(G,)/(G,) -> per-anchor targets."""
-        assign: AssignResult = self.assigner(anchors, gt_bboxes, gt_labels,
-                                             gt_mask)
+    def _targets_single(self, anchors, gt_bboxes, gt_labels, gt_mask,
+                        gt_ignore=None, gt_ignore_mask=None):
+        """anchors (N,5); padded gt (G,5)/(G,)/(G,) -> per-anchor targets.
+
+        ``gt_ignore``/``gt_ignore_mask`` (optional padded ignore regions —
+        dataset ignore boxes or loader truncation overflow) reach the
+        assigner's ``ignore_iof_thr`` masking, mirroring the reference's
+        ``gt_bboxes_ignore`` argument (``rotated_anchor_head.py:181``)."""
+        if gt_ignore is not None and \
+                getattr(self.assigner, 'ignore_iof_thr', -1) > 0:
+            assign: AssignResult = self.assigner(
+                anchors, gt_bboxes, gt_labels, gt_mask,
+                gt_bboxes_ignore=gt_ignore, gt_ignore_mask=gt_ignore_mask)
+        else:
+            assign = self.assigner(anchors, gt_bboxes, gt_labels, gt_mask)
         pos = assign.assigned_gt_inds >= 0
         neg = assign.assigned_gt_inds == -1
 
@@ -108,21 +119,31 @@ class AnchorHeadLogic:
         return cls_flat, box_flat
 
     # ---- loss (batched) -------------------------------------------------
-    def loss(self, outputs, gt_bboxes, gt_labels, gt_mask):
+    def loss(self, outputs, gt_bboxes, gt_labels, gt_mask,
+             gt_ignore=None, gt_ignore_mask=None):
         """Batched loss.
 
         Args:
             outputs: (cls_scores, bbox_preds) per-level NHWC head outputs.
             gt_bboxes (B, G, 5); gt_labels (B, G); gt_mask (B, G) bool.
+            gt_ignore (B, K, 5) / gt_ignore_mask (B, K): optional padded
+                ignore regions (see ``_targets_single``).
         Returns dict(loss_cls=..., loss_bbox=...).
         """
         cls_scores, bbox_preds = outputs
         featmap_sizes = [s.shape[1:3] for s in cls_scores]
         anchors = self.flat_anchors(featmap_sizes)
 
-        labels, lw, bt, bw, pos = jax.vmap(
-            lambda b, l, m: self._targets_single(anchors, b, l, m)
-        )(gt_bboxes, gt_labels, gt_mask)
+        if gt_ignore is not None and \
+                getattr(self.assigner, 'ignore_iof_thr', -1) > 0:
+            labels, lw, bt, bw, pos = jax.vmap(
+                lambda b, l, m, gi, gim: self._targets_single(
+                    anchors, b, l, m, gi, gim)
+            )(gt_bboxes, gt_labels, gt_mask, gt_ignore, gt_ignore_mask)
+        else:
+            labels, lw, bt, bw, pos = jax.vmap(
+                lambda b, l, m: self._targets_single(anchors, b, l, m)
+            )(gt_bboxes, gt_labels, gt_mask)
 
         cls_flat, box_flat = self._flatten_preds(cls_scores, bbox_preds)
 

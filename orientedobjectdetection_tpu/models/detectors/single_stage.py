@@ -63,6 +63,16 @@ class RotatedSingleStageDetector(nn.Module):
     @nn.nowrap
     def loss_from_outputs(self, outputs, batch):
         head = self.make_head()
+        import inspect
+        accepts_ignore = 'gt_ignore' in inspect.signature(
+            type(head).loss).parameters
+        if 'gt_ignore' in batch and accepts_ignore:
+            # anchor-head family: route ignore regions (dataset ignore
+            # boxes / loader truncation overflow) to the assigner
+            return head.loss(outputs, batch['gt_bboxes'],
+                             batch['gt_labels'], batch['gt_mask'],
+                             gt_ignore=batch['gt_ignore'],
+                             gt_ignore_mask=batch['gt_ignore_mask'])
         return head.loss(outputs, batch['gt_bboxes'],
                          batch['gt_labels'], batch['gt_mask'])
 
