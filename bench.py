@@ -207,10 +207,13 @@ def main():
         outputs = orcnn.apply(variables, images)
         return orcnn.bboxes_from_outputs(outputs)
 
-    # batch 4: the two-stage RoI path at batch 8 x 1024^2 exceeds the
-    # 16 GB v5e HBM (measured 16.25G needed)
-    t_orcnn = _timed(orcnn_infer, orcnn_vars, images[:4])
-    orcnn_fps = 4 / t_orcnn
+    t_orcnn = _timed(orcnn_infer, orcnn_vars, images)
+    orcnn_fps = BATCH / t_orcnn
+
+    # ---- two-stage training (VERDICT r4 item 6): the RoI gather/sample
+    # path is exactly where the static-shape formulation costs most -------
+    orcnn_train8 = _train_ips(orcnn, orcnn_vars, images, 8)
+    orcnn_train4 = _train_ips(orcnn, orcnn_vars, images, 4)
 
     print(json.dumps({
         'metric': 'retinanet_r50_1024_infer_imgs_per_sec',
@@ -222,6 +225,8 @@ def main():
         'train_mfu_b8': round(train_mfu, 4),
         'oriented_rcnn_infer_imgs_per_sec': round(orcnn_fps, 2),
         'oriented_rcnn_vs_baseline': round(orcnn_fps / 21.2, 2),
+        'oriented_rcnn_train_imgs_per_sec_b4': round(orcnn_train4, 2),
+        'oriented_rcnn_train_imgs_per_sec_b8': round(orcnn_train8, 2),
         'nms_rotated_mboxes_per_sec': round(mboxes, 3),
         'nms_decode_share_of_e2e': round(nms_share, 3),
     }))

@@ -36,6 +36,9 @@ def maybe_init_distributed():
     pods."""
     import os as _os
     if _os.environ.get('JAX_COORDINATOR'):
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, 'client', None) is not None:
+            return      # idempotent: already joined the cluster
         jax.distributed.initialize(
             coordinator_address=_os.environ['JAX_COORDINATOR'],
             num_processes=int(_os.environ['JAX_NUM_PROCESSES']),
@@ -107,9 +110,19 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
     step_fn = jax.jit(make_train_step(detector, tx, norm_eval=norm_eval,
                                       device_norm=device_norm))
 
-    def put(batch):
-        return {k: jax.device_put(jnp.asarray(v), data_shard)
-                for k, v in batch.items() if k != 'img_metas'}
+    if jax.process_count() > 1:
+        # multi-host: each process holds only ITS loader shard of the
+        # global batch — assemble the global array from per-process local
+        # data (device_put with a global sharding would require identical
+        # data on every process)
+        def put(batch):
+            return {k: jax.make_array_from_process_local_data(
+                        data_shard, np.asarray(v))
+                    for k, v in batch.items() if k != 'img_metas'}
+    else:
+        def put(batch):
+            return {k: jax.device_put(jnp.asarray(v), data_shard)
+                    for k, v in batch.items() if k != 'img_metas'}
 
     # ---- in-training evaluation (reference EvalHook, apis/train.py:104-132)
     eval_cfg = dict(cfg.get('evaluation') or {})

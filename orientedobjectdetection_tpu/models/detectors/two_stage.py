@@ -85,7 +85,9 @@ class RotatedTwoStageDetector(nn.Module):
         else:
             props, scores, pvalid = rpn_logic.get_proposals(
                 rpn_outputs, cfg=(self.test_cfg or {}).get('rpn'))
-            cls_score, bbox_pred = roi(feats, props)
+            # inference-only Mosaic RoIAlign kernel (3x the gather path at
+            # R=2000 on v5e; ops/roi_align_pallas.py)
+            cls_score, bbox_pred = roi(feats, props, use_pallas=True)
             return dict(proposals=props, prop_valid=pvalid,
                         cls_score=cls_score, bbox_pred=bbox_pred)
 

