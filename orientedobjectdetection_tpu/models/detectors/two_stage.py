@@ -195,7 +195,7 @@ class GlidingVertex(nn.Module):
                         head_outputs=head_outputs)
         props, scores, pvalid = rpn_logic.get_proposals(
             rpn_outputs, cfg=(self.test_cfg or {}).get('rpn'))
-        head_outputs = roi(feats, props)
+        head_outputs = roi(feats, props, use_pallas=True)
         return dict(proposals=props, head_outputs=head_outputs)
 
     @nn.nowrap

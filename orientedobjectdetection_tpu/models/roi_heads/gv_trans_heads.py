@@ -24,6 +24,20 @@ from ...core.coders import (DeltaXYWHAHBBoxCoder, DeltaXYWHAOBBoxCoder,
 from ...ops.boxes import hbb2obb, obb2hbb, obb2xyxy, poly2obb
 from ...ops.nms import multiclass_nms_rotated
 from ...ops.roi_align_rotated import roi_align_rotated
+
+
+def _align(feats, rois, strides, use_pallas=False):
+    """RoIAlignRotated, routed through the Mosaic window kernel at
+    inference when the backend supports it (ops/roi_align_pallas.py —
+    inference-only: no VJP)."""
+    from ...ops.iou_pallas import pallas_available
+    if use_pallas and pallas_available():
+        from ...ops.roi_align_pallas import roi_align_rotated_pallas
+        return roi_align_rotated_pallas(
+            tuple(feats[:len(strides)]), rois, (7, 7),
+            tuple(1.0 / s for s in strides), 2)
+    return roi_align_rotated(feats[:len(strides)], rois, (7, 7),
+                             [1.0 / s for s in strides], 2)
 from ...utils.registry import HEADS, LOSSES
 from ..dense_heads.rotated_anchor_head import _build
 
@@ -144,12 +158,10 @@ class GVRatioRoIHead(nn.Module):
                                  if k != 'type'})
 
     @nn.compact
-    def __call__(self, feats, rois_xyxy):
+    def __call__(self, feats, rois_xyxy, use_pallas: bool = False):
         strides = (self.bbox_roi_extractor or {}).get(
             'featmap_strides', [4, 8, 16, 32])
-        pooled = roi_align_rotated(
-            feats[:len(strides)], hbb_to_rot(rois_xyxy), (7, 7),
-            [1.0 / s for s in strides], 2)
+        pooled = _align(feats, hbb_to_rot(rois_xyxy), strides, use_pallas)
         cfg = dict(self.bbox_head or dict(type='GVBBoxHead'))
         if cfg.get('test_cfg') is None:
             cfg['test_cfg'] = self.test_cfg
@@ -357,9 +369,7 @@ class RoITransRoIHead(nn.Module):
             rois_rot = hbb_to_rot(proposals_xyxy)
             for i in range(self.num_stages):
                 strides = self._strides(i)
-                pooled = roi_align_rotated(
-                    feats[:len(strides)], rois_rot, (7, 7),
-                    [1.0 / s for s in strides], 2)
+                pooled = _align(feats, rois_rot, strides, use_pallas=True)
                 head_cfg = self._head_cfg(i)
                 if head_cfg.get('test_cfg') is None:
                     head_cfg['test_cfg'] = self.test_cfg

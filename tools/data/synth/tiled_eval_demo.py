@@ -5,7 +5,15 @@ batched inference with a trained tiny-synth checkpoint, merges patch
 detections back to the original frame, writes the submission zip and
 scores original-frame mAP (measured: 0.9532 with the round-2 checkpoint).
 
-    python tools/data/synth/tiled_eval_demo.py [checkpoint]
+    python tools/data/synth/tiled_eval_demo.py [checkpoint] [--ms]
+
+``--ms`` drives the MULTI-SCALE split path (reference
+``split_configs/ms_*.json`` + ``core/patch/split.py:8-28``): rates
+0.5/1.0/2.0 produce 512/256/128 px windows over the same scenes
+(``img_split.py --rates``; window size rides in the tile filename so
+offsets cannot collide), inference runs on a canvas sized for the largest
+window, and ``merge_det`` NMS-merges detections from all three scales in
+the original frame.
 """
 import os
 import os.path as osp
@@ -24,8 +32,11 @@ sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 
 from generate_synth import generate_synth
 
+MS = '--ms' in sys.argv
+if MS:
+    sys.argv.remove('--ms')
 BIG = '/tmp/synth_big'
-SPLIT = '/tmp/synth_split'
+SPLIT = '/tmp/synth_split_ms' if MS else '/tmp/synth_split'
 
 # 1. six 1024x1024 scenes with up to 18 objects
 generate_synth(BIG, num_images=6, size=1024, seed=7, split='test',
@@ -33,12 +44,14 @@ generate_synth(BIG, num_images=6, size=1024, seed=7, split='test',
 print('big images written', flush=True)
 
 # 2. offline tiler: 256px windows, 64px gap
-subprocess.run([sys.executable,
-                '/root/repo/tools/data/dota/split/img_split.py',
-                '--img-dirs', f'{BIG}/test/images',
-                '--ann-dirs', f'{BIG}/test/annfiles',
-                '--save-dir', SPLIT, '--sizes', '256', '--gaps', '64'],
-               check=True)
+split_cmd = [sys.executable,
+             '/root/repo/tools/data/dota/split/img_split.py',
+             '--img-dirs', f'{BIG}/test/images',
+             '--ann-dirs', f'{BIG}/test/annfiles',
+             '--save-dir', SPLIT, '--sizes', '256', '--gaps', '64']
+if MS:
+    split_cmd += ['--rates', '0.5', '1.0', '2.0']
+subprocess.run(split_cmd, check=True)
 n_tiles = len(os.listdir(f'{SPLIT}/images'))
 print(f'tiled into {n_tiles} patches', flush=True)
 
@@ -58,6 +71,12 @@ print(f'split dataset: {len(dataset)} tiles', flush=True)
 
 ckpt = sys.argv[1] if len(sys.argv) > 1 else \
     '/tmp/wd_synth_full/ckpt_00002500.msgpack'
+if MS:
+    # rate 0.5 -> 512 px windows: evaluate on a canvas fitting the largest
+    # scale (the model is fully convolutional; tiles are crops, never
+    # resampled, so detections stay in original-image pixels)
+    cfg.pad_size = (512, 512)
+    cfg.data['pad_size'] = (512, 512)
 bundle = init_detector(cfg, ckpt)
 results = batched_eval(bundle, dataset, batch_size=8)
 print('inference done', flush=True)
