@@ -25,7 +25,9 @@ EPOCHS="${EPOCHS:-12}"
 # compile cache (tools/train.py) + checkpoint auto-resume make reruns cheap,
 # so the generous default only ever costs time once.
 PER_FAMILY_TIMEOUT="${PER_FAMILY_TIMEOUT:-7200}"
-for cfg in configs/*/*hard_synth.py; do
+# FAMILIES overrides the run order (space-separated config paths) — lets a
+# time-bounded session run the highest-value families first
+for cfg in ${FAMILIES:-configs/*/*hard_synth.py}; do
   name=$(basename "$cfg" .py)
   if grep -q "\"epoch\": $EPOCHS, \"mode\": \"val\"" \
        "work_dirs/hard/$name/train_log.jsonl" 2>/dev/null; then
