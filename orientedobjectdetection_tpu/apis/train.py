@@ -68,6 +68,7 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
         max_gt=int(cfg.data.get('max_gt', 512)),
         pad_size=cfg.data.get('pad_size'),
         num_workers=int(cfg.data.get('workers_per_gpu', 2)) * 4,
+        worker_type=cfg.data.get('worker_type', 'thread'),
         seed=seed, shard_id=jax.process_index(),
         num_shards=jax.process_count())
     steps_per_epoch = len(loader)

@@ -10,12 +10,29 @@ the host pipeline overlaps with device steps.
 
 from __future__ import annotations
 
+import multiprocessing
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+
+# Per-worker dataset handle for the process-pool decode path. Each worker
+# receives the dataset once at pool start (initializer) instead of
+# re-pickling it with every task.
+_WORKER_DATASET = None
+
+
+def _pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _pool_get(i):
+    return _WORKER_DATASET[i]
 
 
 _TRUNC_WARNED = [False]
@@ -122,7 +139,23 @@ class DataLoader:
                  pad_size=None, shuffle: bool = True, seed: int = 0,
                  num_workers: int = 8, prefetch: int = 4,
                  drop_last: bool = True, shard_id: int = 0,
-                 num_shards: int = 1):
+                 num_shards: int = 1, worker_type: str = 'thread'):
+        """``worker_type``:
+
+        - ``'thread'`` (default): ThreadPoolExecutor. cv2 releases the GIL
+          for decode/warp, so threads scale to the imdecode core count with
+          zero pickling cost — the right choice whenever cv2 dominates.
+        - ``'process'``: persistent ``multiprocessing.Pool``, the analog of
+          mmcv's ``workers_per_gpu`` subprocess dataloader (reference
+          ``apis/train.py`` build_dataloader). Sidesteps the GIL for
+          *Python-bound* pipelines (heavy pure-numpy transforms) at the
+          cost of pickling each sample back to the parent. Workers are
+          started once (fork by default; ``OODTPU_MP_START=spawn`` to
+          override) and hold the dataset via a pool initializer, so the
+          dataset itself is never re-pickled per task. On a single-core
+          host both types hit the same decode ceiling (RESULTS.md "input
+          pipeline"); on multi-core hosts 'process' wins when py-bound.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -134,7 +167,35 @@ class DataLoader:
         self.drop_last = drop_last
         self.shard_id = shard_id
         self.num_shards = num_shards
+        if worker_type not in ('thread', 'process'):
+            raise ValueError(f'worker_type must be thread|process, '
+                             f'got {worker_type!r}')
+        self.worker_type = worker_type
+        self._proc_pool = None
         self.epoch = 0
+
+    def _process_pool(self):
+        """Persistent worker pool, started on first use, reused across
+        epochs (mmcv's ``persistent_workers=True`` behavior)."""
+        if self._proc_pool is None:
+            ctx = multiprocessing.get_context(
+                os.environ.get('OODTPU_MP_START', 'fork'))
+            self._proc_pool = ctx.Pool(self.num_workers,
+                                       initializer=_pool_init,
+                                       initargs=(self.dataset,))
+        return self._proc_pool
+
+    def close(self):
+        if self._proc_pool is not None:
+            self._proc_pool.terminate()
+            self._proc_pool.join()
+            self._proc_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -155,7 +216,17 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict]:
         idx = self._indices()
         nb = len(self)
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        if self.worker_type == 'process':
+            proc_pool = self._process_pool()
+            pool = None
+
+            def fetch(batch_idx):
+                return proc_pool.map(_pool_get, list(batch_idx))
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+            def fetch(batch_idx):
+                return list(pool.map(self.dataset.__getitem__, batch_idx))
         q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -166,9 +237,8 @@ class DataLoader:
                         return
                     batch_idx = idx[b * self.batch_size:
                                     (b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__,
-                                            batch_idx))
-                    q.put(pad_collate(samples, self.max_gt, self.pad_size))
+                    q.put(pad_collate(fetch(batch_idx), self.max_gt,
+                                      self.pad_size))
             finally:
                 q.put(None)
 
@@ -182,5 +252,6 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
-            pool.shutdown(wait=False)
+            if pool is not None:
+                pool.shutdown(wait=False)
         self.epoch += 1

@@ -74,6 +74,29 @@ def test_getitem_and_loader(synth_root):
     assert b['gt_mask'].sum() == 4   # 2 gts per image
 
 
+def test_process_pool_loader_matches_threads(synth_root):
+    """worker_type='process' (the mmcv subprocess-dataloader analog) must
+    yield bit-identical batches to the thread pool for a deterministic
+    pipeline (flip_ratio=0, same shuffle seed)."""
+    from orientedobjectdetection_tpu.datasets import DataLoader, DOTADataset
+    ds = DOTADataset(ann_file=osp.join(synth_root, 'annfiles'),
+                     img_prefix=osp.join(synth_root, 'images'),
+                     pipeline=make_pipeline(), version='le90',
+                     classes=('plane', 'ship'))
+    kw = dict(batch_size=2, max_gt=8, pad_size=(128, 128),
+              num_workers=2, shuffle=True, seed=3)
+    lt = DataLoader(ds, worker_type='thread', **kw)
+    lp = DataLoader(ds, worker_type='process', **kw)
+    try:
+        for bt, bp in zip(list(lt), list(lp)):
+            for k in ('images', 'gt_bboxes', 'gt_labels', 'gt_mask'):
+                np.testing.assert_array_equal(bt[k], bp[k])
+    finally:
+        lp.close()
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=1, worker_type='greenlet')
+
+
 def test_dataset_sharding(synth_root):
     from orientedobjectdetection_tpu.datasets import DataLoader, DOTADataset
     ds = DOTADataset(ann_file=osp.join(synth_root, 'annfiles'),

@@ -44,6 +44,10 @@ def parse_args():
                    help='keep the pipeline Normalize on the host (the '
                         'pre-round-4 behavior), for A/B comparison')
     p.add_argument('--bf16', action='store_true')
+    p.add_argument('--worker-type', choices=['thread', 'process'],
+                   default=None,
+                   help='override data.worker_type (process = the '
+                        'mmcv-style subprocess-worker analog)')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cfg-options', nargs='+', default=[])
     return p.parse_args()
@@ -84,8 +88,11 @@ def main():
         max_gt=int(cfg.data.get('max_gt', 512)),
         pad_size=cfg.data.get('pad_size'),
         num_workers=int(cfg.data.get('workers_per_gpu', 2)) * 4,
+        worker_type=args.worker_type or cfg.data.get('worker_type',
+                                                     'thread'),
         seed=args.seed)
     out = dict(batch_size=batch_size,
+               worker_type=loader.worker_type,
                dataset_len=len(dataset),
                pad_size=list(cfg.data.get('pad_size') or ()) or None,
                **out_extra)
