@@ -22,9 +22,17 @@ import jax.numpy as jnp
 
 from .iou import box_iou_rotated
 from .iou_pallas import nms_pair_mask_pallas, pallas_available
-from .sort import argsort_desc
+from .sort import argsort_desc, topk_unsorted
 
 NEG_INF = -1e10
+
+# Exact-set radix top-k (ops.sort.topk_unsorted) for candidate
+# pre-selection on TPU: same selected SET as lax.top_k, no sort network.
+# Candidate-list consumers are order-insensitive (NMS re-sorts), so this
+# is a pure perf substitution above the size where it wins. Default off
+# until measured on the chip (flip after the TPU tier validates it).
+RADIX_TOPK = False
+_RADIX_MIN_N = 16384
 
 
 def topk_candidates(scores, k: int, exact: bool = True):
@@ -43,6 +51,12 @@ def topk_candidates(scores, k: int, exact: bool = True):
             and jnp.issubdtype(scores.dtype, jnp.floating)
             and pallas_available()):
         return jax.lax.approx_max_k(scores, k, recall_target=0.95)
+    if (RADIX_TOPK and scores.ndim == 1 and k < scores.shape[0]
+            and scores.shape[0] >= _RADIX_MIN_N
+            and scores.dtype == jnp.float32
+            and pallas_available()):
+        # exact SET, ascending-index order (candidate consumers re-sort)
+        return topk_unsorted(scores, k)
     return jax.lax.top_k(scores, k)
 
 # Candidate count above which the compiled Pallas tile kernel beats the jnp

@@ -20,6 +20,7 @@ suppression loop).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,3 +63,62 @@ def argsort_desc(scores, class_ids=None):
     order = (onehot @ jnp.arange(n, dtype=jnp.float32) + 0.5
              ).astype(jnp.int32)
     return order, rank
+
+
+def _order_key_u32(scores):
+    """f32 -> uint32 key whose unsigned order equals the float order.
+
+    Standard bit trick: non-negative floats set the sign bit (so they sort
+    above all negatives); negative floats flip every bit (so more-negative
+    sorts lower). Total order matches f32 ``>`` for all finite values and
+    +/-inf; -0.0 ties +0.0 one key apart (never score-relevant)."""
+    b = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.int32)
+    u = b.astype(jnp.uint32)
+    return jnp.where(b < 0, ~u, u | jnp.uint32(0x80000000))
+
+
+def topk_unsorted(scores, k: int):
+    """Exact top-k SET selection with no sort network.
+
+    ``jax.lax.top_k`` lowers to a partial bitonic sort on TPU — measured
+    3.6 ms for batch 8 x 147k -> 2000 on v5e, the single largest piece of
+    the detector's decode stage. But every candidate-selection consumer in
+    this codebase is order-insensitive (NMS re-sorts by score via
+    :func:`argsort_desc`), so the sort is pure waste. This computes the
+    EXACT k-th-largest threshold by a 4-round radix descent over the
+    f32-orderable bit pattern (:func:`_order_key_u32`) — four masked
+    256-bin histograms, i.e. pure VPU compare/reduce passes — then
+    compacts the >=threshold survivors with one cumsum. No sort anywhere.
+
+    Returns ``(vals, idx)`` with ``idx`` in ascending-index order (NOT
+    score order). The selected SET is bit-identical to
+    ``lax.top_k``'s: everything above the threshold, plus the
+    lowest-index ties at the threshold. Requires ``0 < k <= n``; for
+    ``k == n`` it degenerates to the identity selection.
+    """
+    n = scores.shape[0]
+    if k >= n:
+        return scores, jnp.arange(n, dtype=jnp.int32)
+    u = _order_key_u32(scores)
+    digits = jnp.arange(256, dtype=jnp.uint32)
+    active = jnp.ones((n,), bool)
+    need = jnp.int32(k)
+    for shift in (24, 16, 8, 0):
+        digit = (u >> jnp.uint32(shift)) & jnp.uint32(0xFF)
+        hits = (digit[:, None] == digits[None, :]) & active[:, None]
+        hist = hits.sum(0, dtype=jnp.int32)               # (256,)
+        cnt_ge = jnp.cumsum(hist[::-1])[::-1]             # >= digit d
+        # threshold digit: largest d whose >=-count still covers `need`
+        # (cnt_ge is non-increasing in d, so count the qualifying bins)
+        dstar = ((cnt_ge >= need).sum(dtype=jnp.int32) - 1).astype(
+            jnp.uint32)
+        cnt_gt = cnt_ge[dstar] - hist[dstar]              # strictly above
+        need = need - cnt_gt
+        active = active & (digit == dstar)
+    # all still-active elements share the exact threshold key u*
+    u_star = jnp.where(active, u, 0).max()
+    gt = u > u_star
+    eq_first = active & (jnp.cumsum(active) <= need)      # lowest-index ties
+    sel = gt | eq_first                                   # exactly k True
+    idx = jnp.nonzero(sel, size=k, fill_value=0)[0].astype(jnp.int32)
+    return scores[idx], idx
