@@ -35,13 +35,29 @@ for cfg in ${FAMILIES:-configs/*/*hard_synth.py}; do
     continue
   fi
   echo "==== $name ===="
-  # keep going if one family fails or wedges: the SPREAD is the deliverable
-  timeout "$PER_FAMILY_TIMEOUT" \
-    python tools/train.py "$cfg" --bf16 --auto-resume \
-    --work-dir "work_dirs/hard/$name" \
-    --cfg-options "runner.max_epochs=$EPOCHS" "evaluation.interval=4" \
-    "checkpoint_config.interval=4" \
-    2>&1 | tail -4 || echo "!!!! $name FAILED (rc=$?)"
+  mkdir -p "work_dirs/hard/$name"
+  # keep going if one family fails or wedges: the SPREAD is the deliverable.
+  # Full output goes to run.log (a tail-only pipe swallowed the real
+  # exception when a family died — round-5 post-mortem). The watchdog
+  # detects the axon client's nondeterministic startup wedge (all threads
+  # futex-parked, tunnel silent — rc 99) and the family is retried; a
+  # short grace sleep lets the dead client's device lease clear.
+  for attempt in 1 2 3; do
+    python tools/data/synth/run_with_watchdog.py \
+      --timeout "$PER_FAMILY_TIMEOUT" \
+      --log "work_dirs/hard/$name/run.log" -- \
+      python tools/train.py "$cfg" --bf16 --auto-resume \
+      --work-dir "work_dirs/hard/$name" \
+      --cfg-options "runner.max_epochs=$EPOCHS" "evaluation.interval=4" \
+      "checkpoint_config.interval=4"
+    rc=$?
+    [ $rc -eq 0 ] && break
+    echo "!!!! $name attempt $attempt rc=$rc"
+    [ $rc -ne 99 ] && break
+    sleep 45
+  done
+  tail -2 "work_dirs/hard/$name/run.log"
+  sleep 15
 done
 
 python - <<'EOF'
