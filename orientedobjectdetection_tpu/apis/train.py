@@ -84,13 +84,17 @@ def train_detector(cfg, work_dir: str, resume: bool = False,
     sched = build_lr_schedule(dict(cfg.lr_config),
                               float(cfg.optimizer['lr']), steps_per_epoch,
                               total_steps=total_steps)
-    variables = detector.init(rng, init_images)
+    # one JITTED init, reused for the train state: eager flax init
+    # dispatches thousands of tiny XLA programs (minutes on a 1-core
+    # host), and a second init inside create_train_state would re-trace
+    variables = jax.jit(detector.init)(rng, init_images)
     frozen = int(cfg.model.get('backbone', {}).get('frozen_stages', -1))
     grad_clip = cfg.get('optimizer_config', {}).get('grad_clip')
     tx = build_optimizer(dict(cfg.optimizer), sched,
                          dict(grad_clip) if grad_clip else None,
                          params=variables['params'], frozen_stages=frozen)
-    state = create_train_state(detector, rng, init_images, tx)
+    state = create_train_state(detector, rng, init_images, tx,
+                               variables=variables)
 
     if resume_from:
         # explicit checkpoint path (reference ``tools/train.py``

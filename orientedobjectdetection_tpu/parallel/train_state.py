@@ -125,10 +125,13 @@ def build_optimizer(optimizer_cfg: dict, lr_schedule: Callable,
     return tx
 
 
-def create_train_state(detector, rng, sample_images, tx) -> TrainState:
+def create_train_state(detector, rng, sample_images, tx,
+                       variables=None) -> TrainState:
     # jit the init: eager flax init dispatches thousands of tiny XLA
     # programs (minutes on a 1-core host); one jitted program is fast.
-    variables = jax.jit(detector.init)(rng, sample_images)
+    # Callers that already initialized pass ``variables`` to skip it.
+    if variables is None:
+        variables = jax.jit(detector.init)(rng, sample_images)
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,

@@ -43,14 +43,15 @@ for cfg in ${FAMILIES:-configs/*/*hard_synth.py}; do
   # futex-parked, tunnel silent — rc 99) and the family is retried; a
   # short grace sleep lets the dead client's device lease clear.
   for attempt in 1 2 3; do
+    rc=0
+    # `|| rc=$?` keeps set -e from killing the whole runner on a wedge
     python tools/data/synth/run_with_watchdog.py \
       --timeout "$PER_FAMILY_TIMEOUT" \
       --log "work_dirs/hard/$name/run.log" -- \
       python tools/train.py "$cfg" --bf16 --auto-resume \
       --work-dir "work_dirs/hard/$name" \
       --cfg-options "runner.max_epochs=$EPOCHS" "evaluation.interval=4" \
-      "checkpoint_config.interval=4"
-    rc=$?
+      "checkpoint_config.interval=4" || rc=$?
     [ $rc -eq 0 ] && break
     echo "!!!! $name attempt $attempt rc=$rc"
     [ $rc -ne 99 ] && break
