@@ -66,9 +66,9 @@ def main():
     ap.add_argument('--timeout', type=float, default=1680)
     ap.add_argument('--log', default=None,
                     help='redirect child stdout+stderr to this file')
-    ap.add_argument('--grace', type=float, default=120,
+    ap.add_argument('--grace', type=float, default=90,
                     help='seconds before wedge detection arms')
-    ap.add_argument('--window', type=float, default=240,
+    ap.add_argument('--window', type=float, default=170,
                     help='a process idle (cpu+tunnel) this long is wedged')
     ap.add_argument('cmd', nargs=argparse.REMAINDER)
     args = ap.parse_args()
