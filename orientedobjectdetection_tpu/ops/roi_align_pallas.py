@@ -120,7 +120,15 @@ def _pool_matrix():
     return m
 
 
+def _col_align(c: int) -> int:
+    """Column-origin granule: smallest g with (g * c) % 128 == 0, so the
+    window DMA's minor-dim element offset lands on the (8, 128) tiling."""
+    import math
+    return 128 // math.gcd(c, 128)
+
+
 def _make_kernel(num_levels: int, c: int):
+    calign = _col_align(c)
     def kernel(lvl_ref, row_ref, col_ref,     # scalar prefetch (B, R) SMEM
                a_ref, b_ref,                  # (1, RBLK, P, WIN) VMEM bf16
                pool_ref,                      # (49, P) VMEM bf16
@@ -136,7 +144,11 @@ def _make_kernel(num_levels: int, c: int):
             r = rb_ * RBLK + i
             lvl = lvl_ref[b_, r]
             r0 = pl.multiple_of(row_ref[b_, r], 16)
-            c0 = col_ref[b_, r]
+            # the caller rounds col origins down to `calign` columns so the
+            # minor-dim (lane) offset c0*c is provably 128-divisible —
+            # Mosaic rejects the slice otherwise (hit live at C=64: a
+            # 64-aligned byte offset in a (8,128)-tiled memref)
+            c0 = pl.multiple_of(col_ref[b_, r], calign)
             dmas = [pltpu.make_async_copy(
                 f.at[b_, pl.ds(r0, WINY), pl.ds(c0 * c, WINX * c)],
                 win_scr.at[slot, i],
@@ -258,8 +270,14 @@ def roi_align_rotated_pallas(feats: Sequence[jnp.ndarray],
 
     fx, fy = _sample_coords(rois, roi_scale, clockwise)        # (B, R, P)
 
+    # round the col origin DOWN to the lane-tiling granule (g columns such
+    # that g*C is 128-divisible; 1 for C>=128, 2 at C=64, ...) — Mosaic
+    # requires the window DMA's minor-dim offset on the (8, 128) tiling.
+    # The <= g-1 columns of lost right margin are absorbed by the
+    # oversize-fallback threshold below.
+    calign = _col_align(c)
     col0 = jnp.clip(jnp.floor(fx.min(-1)).astype(jnp.int32) - 1,
-                    0, fw - WINX)
+                    0, fw - WINX) & ~(calign - 1)
     # 16-align the row origin (HBM sublane tiling); WINY has the slack
     row0 = jnp.clip(jnp.floor(fy.min(-1)).astype(jnp.int32) - 1,
                     0, fh - WINY) & ~15
@@ -303,7 +321,10 @@ def roi_align_rotated_pallas(feats: Sequence[jnp.ndarray],
     # ---- exact fallback for oversized (elongated) rois -------------------
     span_x = fx.max(-1) - fx.min(-1)
     span_y = fy.max(-1) - fy.min(-1)
-    over = ((span_x > WINX - 3) | (span_y > WINY - 19)) & valid   # (B, rp)
+    # col alignment steals up to calign-1 columns of right margin (plus
+    # one conservative cell for the floor/neighbor bookkeeping)
+    over = ((span_x > WINX - 3 - calign) |
+            (span_y > WINY - 19)) & valid                         # (B, rp)
     if oversize_cap > 0:
         from .roi_align_rotated import roi_align_rotated
         k = min(oversize_cap, rp)
