@@ -61,6 +61,29 @@ def tunnel_bytes(pid):
         return None
 
 
+PROBE = ('import jax, jax.numpy as jnp; jax.devices(); '
+         'print(float(jnp.ones((8, 8)).sum()))')
+
+
+def preflight(attempts=4, timeout=90):
+    """Throwaway device probe: the axon client wedge strikes a fresh
+    client's FIRST device RPC ~half the time; burning it on an 11-second
+    probe (retried fast) is far cheaper than burning a 5-minute wedge
+    window on the real trainer. Returns once a probe computes on-device."""
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, '-c', PROBE],
+                               timeout=timeout, capture_output=True)
+            if r.returncode == 0 and b'64.0' in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f'[watchdog] preflight probe {i + 1} failed; retrying',
+              file=sys.stderr)
+        time.sleep(10)
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--timeout', type=float, default=1680)
@@ -74,6 +97,7 @@ def main():
     args = ap.parse_args()
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == '--' else args.cmd
 
+    preflight()          # advisory: proceed either way, odds improved
     out = open(args.log, 'ab', buffering=0) if args.log else None
     child = subprocess.Popen(cmd, stdout=out or None,
                              stderr=subprocess.STDOUT if out else None)
