@@ -97,7 +97,11 @@ def main():
     args = ap.parse_args()
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == '--' else args.cmd
 
-    preflight()          # advisory: proceed either way, odds improved
+    if preflight():      # advisory: proceed either way, odds improved
+        # cool-down: a client started immediately after another client's
+        # exit is exactly the wedge condition (round-5 post-mortem — the
+        # probe itself recreated it); let the terminal settle first
+        time.sleep(75)
     out = open(args.log, 'ab', buffering=0) if args.log else None
     child = subprocess.Popen(cmd, stdout=out or None,
                              stderr=subprocess.STDOUT if out else None)
