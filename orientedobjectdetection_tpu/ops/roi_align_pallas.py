@@ -147,10 +147,16 @@ def _make_kernel(num_levels: int, c: int):
             # the caller rounds col origins down to `calign` columns so the
             # minor-dim (lane) offset c0*c is provably 128-divisible —
             # Mosaic rejects the slice otherwise (hit live at C=64: a
-            # 64-aligned byte offset in a (8,128)-tiled memref)
+            # 64-aligned byte offset in a (8,128)-tiled memref). The
+            # multiple_of hint must be on the PRODUCT: Mosaic's
+            # divisibility analysis does not push `multiple_of(c0, g)`
+            # through the `c0 * c` multiply (also hit live).
             c0 = pl.multiple_of(col_ref[b_, r], calign)
+            # c0 = k*calign  =>  c0*c = k*(calign*c), and calign*c is a
+            # 128-multiple by construction
+            off = pl.multiple_of(c0 * c, calign * c)
             dmas = [pltpu.make_async_copy(
-                f.at[b_, pl.ds(r0, WINY), pl.ds(c0 * c, WINX * c)],
+                f.at[b_, pl.ds(r0, WINY), pl.ds(off, WINX * c)],
                 win_scr.at[slot, i],
                 sems.at[slot, i]) for f in feat_refs]
             return lvl, dmas
